@@ -1,0 +1,251 @@
+"""Typed configuration for training/rendering, with reference config parity.
+
+Replaces the reference's ConfigArgParse flat namespace of ~140 flags
+(/root/reference/run.py:253-568). Every knob that affects the live code path
+(SURVEY.md §2.1) exists here under the same name, so a reference config file
+like DS_NeRF/config/aconfig_1.txt loads directly via ``load_reference_config``.
+
+Structure: nested frozen dataclasses (hashable → usable as jit static args),
+grouped by subsystem instead of one flat namespace.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+@dataclass(frozen=True)
+class FieldConfig:
+    """Radiance-field architecture (reference: netdepth/netwidth/multires...)."""
+    no_tcnn: bool = False          # False → hash-grid field (reference default)
+    netdepth: int = 8
+    netwidth: int = 256
+    netdepth_fine: int = 8
+    netwidth_fine: int = 256
+    multires: int = 10
+    multires_views: int = 4
+    use_viewdirs: bool = True
+    bound: float = 100.0           # hash-grid scene bound (tcnn `bound`)
+    n_levels: int = 16
+    n_features: int = 2
+    log2_hashmap_size: int = 19
+    base_res: int = 16
+    compute_dtype: str = "float32"  # "bfloat16" for MXU-friendly training
+
+
+@dataclass(frozen=True)
+class RenderConfig:
+    """Sampling / compositing (reference: N_samples, N_importance, ...)."""
+    N_samples: int = 64
+    N_importance: int = 64
+    perturb: float = 1.0
+    raw_noise_std: float = 0.0
+    white_bkgd: bool = False
+    lindisp: bool = False
+    no_ndc: bool = True
+    render_block: int = 32768      # rays per lax.map block (ref --chunk)
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Dataset (reference: datadir, factor, masks, depth supervision...)."""
+    datadir: str = ""
+    dataset_type: str = "llff"     # llff | blender | dtu
+    factor: int = 4
+    spherify: bool = False
+    llffhold: int = 8
+    origin: bool = True            # use RGB_inpainted/ + label/ + Depth_inpainted/
+    colmap_depth: bool = True
+    depth_lambda: float = 0.1
+    sdepth_lambda: float = 0.1
+    test_split_count: int = 40     # first N poses are the test split (load_llff.py:449)
+    half_res: bool = False         # blender
+    testskip: int = 8
+
+
+@dataclass(frozen=True)
+class GuidanceConfig:
+    """Diffusion-prior guidance (reference: nerf/utils.py + sd_utils.py)."""
+    guidance: Tuple[str, ...] = ("SD",)
+    sd_version: str = "1.5"
+    model_path: Optional[str] = None      # LoRA checkpoint dir
+    guidance_scale: float = 7.5           # RGB CFG scale
+    normal_guidance_scale: float = 1.5
+    is_rgb_guidance: bool = True
+    is_normal_guidance: bool = True
+    is_colla_guidance: bool = False
+    normal_start_iter: int = 500
+    sds_loss_weight: float = 1e-4
+    # Balanced score distillation (3-way CFG) weights.
+    use_csd: bool = True
+    w1: float = 1.0
+    w2: float = 0.5
+    w3: float = 7.5
+    t_range: Tuple[float, float] = (0.02, 0.98)
+    anneal_iters: int = 20000             # t = tmax − (tmax−tmin)·√(i/20000)
+    normalmap_render_factor: int = 7
+    lora_rank: int = 32
+    prompt: str = ""
+    negative_prompt: str = ""
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Optimization loop (reference: lrate, N_iters, logging cadence...)."""
+    N_iters: int = 10001
+    N_rand: int = 1024
+    lrate: float = 3e-3
+    lrate_decay: int = 10          # ×0.1 per decay·1000 steps (run.py:1542)
+    seed: int = 0
+    # loss weights
+    sigma_loss_weight: float = 0.0
+    inpainted_depth_lambda: float = 0.1   # run.py:1483 0.1·mse(disp2, target_inp)
+    lpips: bool = False
+    lpips_weight: float = 0.01
+    patch_len: int = 64
+    # cadence
+    i_print: int = 100
+    i_weights: int = 2000
+    i_video: int = 10000
+    i_evaluate: int = 10000
+    i_testset: int = 10000
+    # io
+    basedir: str = "./logs"
+    expname: str = "exp"
+    no_reload: bool = False
+    ft_path: Optional[str] = None
+    render_only: bool = False
+    render_test: bool = False
+    render_factor: int = 0
+    first_stage: bool = False      # stage-1 batched DS-NeRF path
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """TPU mesh / sharding (the reference's DataParallel analog, SURVEY §2.3)."""
+    data_axis: str = "data"
+    num_devices: int = 0           # 0 → all local devices
+
+
+@dataclass(frozen=True)
+class Config:
+    field: FieldConfig = field(default_factory=FieldConfig)
+    render: RenderConfig = field(default_factory=RenderConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    guidance: GuidanceConfig = field(default_factory=GuidanceConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+
+    def replace(self, **sections) -> "Config":
+        return dataclasses.replace(self, **sections)
+
+
+# Mapping of reference flat flag names → (section, field) for config-file
+# parity. Flags that are dead in the live path are accepted and ignored.
+_FLAG_MAP = {
+    # field
+    "no_tcnn": ("field", "no_tcnn"), "netdepth": ("field", "netdepth"),
+    "netwidth": ("field", "netwidth"), "netdepth_fine": ("field", "netdepth_fine"),
+    "netwidth_fine": ("field", "netwidth_fine"), "multires": ("field", "multires"),
+    "multires_views": ("field", "multires_views"),
+    "use_viewdirs": ("field", "use_viewdirs"), "bound": ("field", "bound"),
+    # render
+    "N_samples": ("render", "N_samples"), "N_importance": ("render", "N_importance"),
+    "perturb": ("render", "perturb"), "raw_noise_std": ("render", "raw_noise_std"),
+    "white_bkgd": ("render", "white_bkgd"), "lindisp": ("render", "lindisp"),
+    "no_ndc": ("render", "no_ndc"), "chunk": ("render", "render_block"),
+    # data
+    "datadir": ("data", "datadir"), "dataset_type": ("data", "dataset_type"),
+    "factor": ("data", "factor"), "spherify": ("data", "spherify"),
+    "llffhold": ("data", "llffhold"), "origin": ("data", "origin"),
+    "colmap_depth": ("data", "colmap_depth"),
+    "depth_lambda": ("data", "depth_lambda"),
+    "sdepth_lambda": ("data", "sdepth_lambda"),
+    "half_res": ("data", "half_res"), "testskip": ("data", "testskip"),
+    # guidance
+    "guidance": ("guidance", "guidance"), "sd_version": ("guidance", "sd_version"),
+    "model_path": ("guidance", "model_path"),
+    "guidance_scale": ("guidance", "guidance_scale"),
+    "normal_guidance_scale": ("guidance", "normal_guidance_scale"),
+    "is_rgb_guidance": ("guidance", "is_rgb_guidance"),
+    "is_normal_guidance": ("guidance", "is_normal_guidance"),
+    "is_colla_guidance": ("guidance", "is_colla_guidance"),
+    "normal_start_iter": ("guidance", "normal_start_iter"),
+    "sds_loss_weight": ("guidance", "sds_loss_weight"),
+    "use_csd": ("guidance", "use_csd"),
+    "w1": ("guidance", "w1"), "w2": ("guidance", "w2"), "w3": ("guidance", "w3"),
+    "normalmap_render_factor": ("guidance", "normalmap_render_factor"),
+    "prompt": ("guidance", "prompt"),
+    "negative_prompt": ("guidance", "negative_prompt"),
+    # train
+    "N_iters": ("train", "N_iters"), "N_rand": ("train", "N_rand"),
+    "lrate": ("train", "lrate"), "lrate_decay": ("train", "lrate_decay"),
+    "sigma_loss_weight": ("train", "sigma_loss_weight"),
+    "lpips": ("train", "lpips"), "patch_len": ("train", "patch_len"),
+    "i_print": ("train", "i_print"), "i_weights": ("train", "i_weights"),
+    "i_video": ("train", "i_video"), "i_evaluate": ("train", "i_evaluate"),
+    "i_testset": ("train", "i_testset"), "basedir": ("train", "basedir"),
+    "expname": ("train", "expname"), "no_reload": ("train", "no_reload"),
+    "ft_path": ("train", "ft_path"), "render_only": ("train", "render_only"),
+    "render_test": ("train", "render_test"),
+    "render_factor": ("train", "render_factor"),
+    "first_stage": ("train", "first_stage"),
+}
+
+
+def _coerce(value: str, target_type):
+    v = value.strip()
+    if target_type is bool or v in ("True", "False"):
+        return v == "True"
+    try:
+        if target_type is int:
+            return int(v)
+        if target_type is float:
+            return float(v)
+        return int(v) if v.lstrip("-").isdigit() else float(v)
+    except ValueError:
+        return v
+
+
+def load_reference_config(path: str, base: Optional[Config] = None) -> Config:
+    """Parse a reference-style ``key = value`` config txt into a Config.
+
+    Accepts the exact format of DS_NeRF/config/aconfig_1.txt. Unknown keys are
+    collected and ignored (the reference has many dead flags).
+    """
+    cfg = base or Config()
+    sections = {s: dict() for s in
+                ("field", "render", "data", "guidance", "train", "mesh")}
+    with open(path) as f:
+        for line in f:
+            line = line.split("#", 1)[0].strip()
+            if not line or "=" not in line:
+                continue
+            key, _, value = line.partition("=")
+            key = key.strip()
+            if key not in _FLAG_MAP:
+                continue
+            section, fname = _FLAG_MAP[key]
+            ftype = type(getattr(getattr(cfg, section), fname))
+            val = _coerce(value, ftype)
+            if fname == "guidance" and isinstance(val, str):
+                val = tuple(val.split(","))
+            sections[section][fname] = val
+    return Config(**{
+        s: dataclasses.replace(getattr(cfg, s), **kv) if kv else getattr(cfg, s)
+        for s, kv in sections.items()
+    })
+
+
+def save_config(cfg: Config, path: str) -> None:
+    """Dump the resolved config (reference dumps args.txt/config.txt)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        for section in dataclasses.fields(cfg):
+            sub = getattr(cfg, section.name)
+            f.write(f"[{section.name}]\n")
+            for fld in dataclasses.fields(sub):
+                f.write(f"{fld.name} = {getattr(sub, fld.name)}\n")
+            f.write("\n")
