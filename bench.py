@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Render-throughput benchmark: rays/sec/chip on the flagship render path.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline = the repo target of 2M rays/sec/chip rendering (BASELINE.md) at the
+reference workload shape: coarse/fine field, 64 coarse + 64 importance
+samples per ray (aconfig_1.txt:33-34).
+
+Timing method: the repetition loop lives INSIDE one jit (lax.fori_loop) and
+the program returns a single scalar. This is deliberate: on the axon-tunneled
+TPU, ``block_until_ready`` does not await execution and host transfers run
+~30 MB/s, so any host-side per-call timing measures the tunnel, not the chip.
+
+Flagship = the bf16 MLP field (reference --no_tcnn path). The hash-grid field
+(tcnn-parity path) is implemented but gather-bound on TPU (XLA dynamic-gather
+~10M elem/s → ~0.015 M rays/s); its Pallas fast path is tracked in ops/.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+BASELINE_RAYS_PER_SEC = 2_000_000.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from gbnerf_tpu.config import Config, FieldConfig, RenderConfig
+    from gbnerf_tpu.train.state import create_train_state
+    from gbnerf_tpu.train.step import make_render_fn
+
+    cfg = Config(
+        field=FieldConfig(no_tcnn=True, compute_dtype="bfloat16"),
+        render=RenderConfig(N_samples=64, N_importance=64, lindisp=True,
+                            white_bkgd=True),
+    )
+    state, coarse, fine = create_train_state(cfg, jax.random.PRNGKey(0))
+    render = make_render_fn(cfg, coarse, fine, near=1.2, far=5.3)
+
+    n, reps = 16384, 4
+    k = jax.random.PRNGKey(1)
+    rays_o = jax.random.normal(k, (n, 3)) * 0.1
+    rays_d = jax.random.normal(jax.random.fold_in(k, 1), (n, 3))
+    rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+
+    @jax.jit
+    def timed(params, ro, rd):
+        def body(_, acc):
+            out = render(params, ro, rd, None, train=False)
+            return acc + jnp.sum(out.rgb) * 1e-9
+        return jax.lax.fori_loop(0, reps, body, 0.0)
+
+    float(timed(state.params, rays_o, rays_d))  # compile + warm
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(timed(state.params, rays_o, rays_d))  # scalar fetch = hard sync
+        best = min(best, time.perf_counter() - t0)
+
+    rays_per_sec = n * reps / best
+    print(json.dumps({
+        "metric": "render_throughput",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/sec/chip",
+        "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

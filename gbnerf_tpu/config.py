@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field as dc_field
 from typing import Optional, Tuple
 
 
@@ -88,6 +88,7 @@ class GuidanceConfig:
     normalmap_render_factor: int = 7
     lora_rank: int = 32
     prompt: str = ""
+    prompt_normal: str = ""
     negative_prompt: str = ""
 
 
@@ -131,12 +132,12 @@ class MeshConfig:
 
 @dataclass(frozen=True)
 class Config:
-    field: FieldConfig = field(default_factory=FieldConfig)
-    render: RenderConfig = field(default_factory=RenderConfig)
-    data: DataConfig = field(default_factory=DataConfig)
-    guidance: GuidanceConfig = field(default_factory=GuidanceConfig)
-    train: TrainConfig = field(default_factory=TrainConfig)
-    mesh: MeshConfig = field(default_factory=MeshConfig)
+    field: FieldConfig = dc_field(default_factory=FieldConfig)
+    render: RenderConfig = dc_field(default_factory=RenderConfig)
+    data: DataConfig = dc_field(default_factory=DataConfig)
+    guidance: GuidanceConfig = dc_field(default_factory=GuidanceConfig)
+    train: TrainConfig = dc_field(default_factory=TrainConfig)
+    mesh: MeshConfig = dc_field(default_factory=MeshConfig)
 
     def replace(self, **sections) -> "Config":
         return dataclasses.replace(self, **sections)
@@ -179,6 +180,11 @@ _FLAG_MAP = {
     "normalmap_render_factor": ("guidance", "normalmap_render_factor"),
     "prompt": ("guidance", "prompt"),
     "negative_prompt": ("guidance", "negative_prompt"),
+    # reference aconfig_1.txt aliases
+    "normal_start": ("guidance", "normal_start_iter"),
+    "rgb_guidance_scale": ("guidance", "guidance_scale"),
+    "text": ("guidance", "prompt"),
+    "text_normal": ("guidance", "prompt_normal"),
     # train
     "N_iters": ("train", "N_iters"), "N_rand": ("train", "N_rand"),
     "lrate": ("train", "lrate"), "lrate_decay": ("train", "lrate_decay"),

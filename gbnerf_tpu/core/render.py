@@ -81,7 +81,16 @@ def raw2outputs(raw, z_vals, rays_d, *, raw_noise_std: float = 0.0, rng=None,
     rgb_map = jnp.sum(w[..., None] * rgb, axis=-2)
     depth_map = jnp.sum(weights * z_vals, axis=-1)
     acc_map = jnp.sum(weights, axis=-1)
-    disp_map = 1.0 / jnp.maximum(1e-10, depth_map / jnp.maximum(acc_map, 1e-10))
+    # Expected disparity given termination. Documented divergence from the
+    # reference's 1/max(1e-10, depth/acc): that form explodes to 1e10 on empty
+    # rays (acc→0), poisoning the disparity-supervision MSE with ~1e20 terms
+    # early in training. We clamp to the physical maximum 1/z_near — identical
+    # on occupied rays, finite on empty ones.
+    z_near = z_vals[..., 0]
+    disp_map = jnp.minimum(
+        1.0 / jnp.maximum(1e-10, depth_map / jnp.maximum(acc_map, 1e-10)),
+        1.0 / jnp.maximum(z_near, 1e-10),
+    )
     if white_bkgd:
         rgb_map = rgb_map + (1.0 - acc_map[..., None])
     return rgb_map, disp_map, acc_map, weights, depth_map, alpha

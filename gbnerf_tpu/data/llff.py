@@ -234,11 +234,13 @@ def load_llff_data(
         rads = np.percentile(np.abs(all_poses[:, :3, 3]), 90, 0)
         render_poses = render_path_spiral(c2w, up, rads, focal_path)
 
-    # Hard split: first `test_split_count` poses are the test cameras; the
-    # image/mask/depth dirs contain the train views (or everything if counts
-    # match the full pose set).
+    # Hard split: the leading poses are the test cameras (reference pins 40
+    # for SPIn-NeRF, load_llff.py:449-450). The asset dirs hold only train
+    # views, so the split size is inferred from the count difference — which
+    # reproduces 40 on SPIn-NeRF (100 poses, 60 train images) and stays
+    # correct for any other scene layout.
     n_total = len(all_poses)
-    n_test = test_split_count if len(imgfiles) < n_total else 0
+    n_test = n_total - len(imgfiles) if len(imgfiles) < n_total else 0
     poses_test, poses_train = all_poses[:n_test], all_poses[n_test:]
 
     H, W = int(sh[0]), int(sh[1])

@@ -98,6 +98,9 @@ def build_ray_banks(
 ) -> RayBanks:
     """Build all ray streams from loaded scene arrays (host, once)."""
     N, H, W = images.shape[:3]
+    # Poses may carry the LLFF hwf column ([3, 5]); only the [3, 4] c2w part
+    # feeds ray generation (column -1 must be the translation).
+    poses = poses[:, :3, :4]
     ro_l, rd_l, rgb_l, msk_l, inp_l = [], [], [], [], []
     for k in range(N):
         ro, rd = _full_image_rays_np(H, W, focal, poses[k])

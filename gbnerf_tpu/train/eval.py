@@ -1,0 +1,72 @@
+"""Eval rendering: pose-path renders, video/PNG artifact dumps.
+
+Parity with render_path (/root/reference/run.py:1751-1891): render every pose
+at optional reduced resolution, dump per-frame rgb/disp PNGs and rgb/disp
+mp4s. Host loop over poses; each frame is one jitted blocked render.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..utils.metrics import to8b
+from .step import make_image_renderer, _full_view_rays
+
+
+def render_pose_path(render_fn, params, poses, hwf, *, render_factor: int = 0,
+                     block: int = 8192):
+    """Render [N, 3, 4]+ poses → dict of stacked numpy maps.
+
+    render_factor > 1 downsamples H/W/focal (reference --render_factor).
+    """
+    H, W, focal = int(hwf[0]), int(hwf[1]), float(hwf[2])
+    if render_factor and render_factor > 1:
+        H, W, focal = H // render_factor, W // render_factor, focal / render_factor
+
+    image_render = make_image_renderer(render_fn, block=block)
+    rgbs, disps, depths = [], [], []
+    for pose in poses:
+        ro, rd = _full_view_rays(H, W, focal, jnp.asarray(pose[:3, :4]))
+        out = image_render(params, ro, rd)
+        rgbs.append(np.asarray(out["rgb"]))
+        disps.append(np.asarray(out["disp"]))
+        depths.append(np.asarray(out["depth"]))
+    return {"rgb": np.stack(rgbs), "disp": np.stack(disps),
+            "depth": np.stack(depths)}
+
+
+def save_video(frames: np.ndarray, path: str, fps: int = 30) -> str:
+    """Write an mp4 (reference rgb.mp4/disp.mp4 artifacts); falls back to GIF
+    when no ffmpeg backend is available in the environment."""
+    import imageio.v2 as imageio
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    try:
+        imageio.mimwrite(path, to8b(frames), fps=fps, quality=8)
+        return path
+    except (ValueError, ImportError):
+        gif = os.path.splitext(path)[0] + ".gif"
+        imageio.mimwrite(gif, to8b(frames), duration=1000.0 / fps, loop=0)
+        return gif
+
+
+def dump_eval_images(maps: dict, outdir: str, *, gt: Optional[np.ndarray] = None):
+    """Per-frame rgb/disp PNG dumps (reference eval_images_{i}/ layout)."""
+    import imageio.v2 as imageio
+
+    os.makedirs(os.path.join(outdir, "rgb"), exist_ok=True)
+    os.makedirs(os.path.join(outdir, "disp"), exist_ok=True)
+    psnrs = []
+    for k in range(len(maps["rgb"])):
+        imageio.imwrite(os.path.join(outdir, "rgb", f"{k:03d}.png"),
+                        to8b(maps["rgb"][k]))
+        disp = maps["disp"][k]
+        imageio.imwrite(os.path.join(outdir, "disp", f"{k:03d}.png"),
+                        to8b(disp / max(disp.max(), 1e-8)))
+        if gt is not None:
+            mse = float(np.mean((maps["rgb"][k] - gt[k]) ** 2))
+            psnrs.append(-10.0 * np.log10(max(mse, 1e-10)))
+    return float(np.mean(psnrs)) if psnrs else None

@@ -1,0 +1,297 @@
+"""Jitted render / train steps.
+
+Parity targets:
+  - render() packing + chunking (/root/reference/run.py:1624-1748) →
+    `make_render_fn` (one jit region, lax.map blocking for full images).
+  - stage-1 DS-NeRF loss (/root/reference/run.py:1243-1301, 1470-1478):
+    rgb MSE (+ coarse term) + inpainted-disparity MSE + COLMAP weighted
+    depth MSE.
+  - stage-2 masked/inpainting loss (/root/reference/run.py:1302-1517):
+    per-iteration random train view, masked-ray render composited into the
+    GT image (combin_rgb), unmasked rgb + inpainted-disparity supervision,
+    coarse term, pluggable score-distillation guidance.
+
+Divergence, documented: the reference as shipped never calls
+``loss.backward()`` in its stage-2 loop (verified in SURVEY.md §3.1), so its
+Adam steps on zero gradients. We implement the intended behavior — one
+gradient of the full loss per iteration.
+
+TPU-first: each step is a single jit (loss → grad → Adam update); batches
+are gathered on device from resident ray banks; the per-view masked-ray
+selection uses static-K_max padded coordinate tables so shapes stay fixed.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Config
+from ..core.normals import depth2xyz, depth2normal_geo
+from ..core.rays import ndc_rays
+from ..core.render import RenderOutputs, render_rays, render_rays_blocked
+from ..core.fields import make_field_fn
+from ..data.rays_bank import sample_batch
+from ..utils.metrics import img2mse, mse2psnr, weighted_mse
+from .state import TrainState, make_optimizer
+
+# guidance_fn(step, combin_rgb [H,W,3], normal_map [h,w,3] | None,
+#             mask [H,W], rng) -> scalar SDS/BSD loss
+GuidanceFn = Callable[..., jnp.ndarray]
+
+
+def make_render_fn(cfg: Config, coarse_model, fine_model, near: float, far: float):
+    """Build render(params, rays_o, rays_d, rng, train) → RenderOutputs.
+
+    near/far are scene constants (reference render_kwargs); NDC reparam is
+    applied when the config asks for it (LLFF forward-facing, no_ndc=False).
+    """
+    r = cfg.render
+
+    def render(params, rays_o, rays_d, rng=None, *, train: bool):
+        viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+        if not r.no_ndc:
+            # H, W, focal only shape the NDC frustum; reference passes the
+            # training intrinsics. We fold them via cfg-scene closure instead.
+            raise NotImplementedError(
+                "NDC path requires intrinsics; use make_render_fn_ndc")
+        n = jnp.full(rays_o.shape[:-1] + (1,), near, rays_o.dtype)
+        f = jnp.full(rays_o.shape[:-1] + (1,), far, rays_o.dtype)
+        coarse_fn = make_field_fn(coarse_model, params["coarse"])
+        fine_fn = (make_field_fn(fine_model, params["fine"])
+                   if fine_model is not None else None)
+        return render_rays(
+            coarse_fn, fine_fn, rays_o, rays_d, viewdirs, n, f,
+            N_samples=r.N_samples, N_importance=r.N_importance,
+            lindisp=r.lindisp,
+            perturb=train and r.perturb > 0.0,
+            raw_noise_std=r.raw_noise_std if train else 0.0,
+            white_bkgd=r.white_bkgd,
+            rng=rng,
+        )
+
+    return render
+
+
+def make_image_renderer(render_fn, *, block: int = 8192):
+    """One jitted full-image renderer: (params, rays_o[H,W,3], rays_d) → maps.
+
+    Built ONCE and reused across poses — the jit shape-cache makes every
+    subsequent same-resolution frame a pure execute (the reference re-runs
+    its python chunk loop per frame, run.py:1751-1813).
+    """
+
+    @jax.jit
+    def render(params, rays_o, rays_d):
+        H, W = rays_o.shape[:2]
+
+        def block_fn(rays):
+            out = render_fn(params, rays["o"], rays["d"], None, train=False)
+            return {"rgb": out.rgb, "disp": out.disp, "depth": out.depth,
+                    "acc": out.acc}
+
+        flat = {"o": rays_o.reshape(-1, 3), "d": rays_d.reshape(-1, 3)}
+        out = render_rays_blocked(block_fn, flat, block_size=block)
+        return jax.tree_util.tree_map(
+            lambda x: x.reshape((H, W) + x.shape[1:]), out)
+
+    return render
+
+
+def render_image(render_fn, params, rays_o, rays_d, *, block: int = 8192):
+    """Single full-image render (convenience; prefer make_image_renderer)."""
+    return make_image_renderer(render_fn, block=block)(params, rays_o, rays_d)
+
+
+class Stage2Batch(NamedTuple):
+    """Device-resident inputs for one stage-2 iteration (static shapes)."""
+
+    image: jnp.ndarray        # [H, W, 3] GT (inpainted) image of the view
+    mask: jnp.ndarray         # [H, W]
+    coords: jnp.ndarray       # [K_max, 2] (x, y) masked pixels
+    valid: jnp.ndarray        # [K_max] bool
+    pose: jnp.ndarray         # [3, 4] c2w of the view
+    clf: Dict[str, jnp.ndarray]    # unmasked ray batch {o, d, target[3]}
+    inp: Dict[str, jnp.ndarray]    # inpainted-disp ray batch {o, d, target[1]}
+    depth: Optional[Dict[str, jnp.ndarray]]  # colmap {o, d, target[depth, w]}
+
+
+def select_stage2_view(scene_dev: Dict[str, jnp.ndarray], banks_dev, rng,
+                       n_rand: int):
+    """Assemble a Stage2Batch on device: random view + stream batches."""
+    k_img, k_clf, k_inp, k_dep = jax.random.split(rng, 4)
+    n_img = scene_dev["images"].shape[0]
+    img_i = jax.random.randint(k_img, (), 0, n_img)
+    batch = Stage2Batch(
+        image=scene_dev["images"][img_i],
+        mask=scene_dev["masks"][img_i],
+        coords=scene_dev["mask_coords"][img_i],
+        valid=scene_dev["mask_valid"][img_i],
+        pose=scene_dev["poses"][img_i, :3, :4],
+        clf=sample_batch(banks_dev["rgb_clf"], k_clf, n_rand),
+        inp=sample_batch(banks_dev["inp"], k_inp, n_rand),
+        depth=(sample_batch(banks_dev["depth"], k_dep, n_rand)
+               if banks_dev.get("depth") is not None else None),
+    )
+    return batch
+
+
+def _masked_rays(H: int, W: int, focal: float, pose, coords):
+    """Rays through the (padded) masked pixel coords of one view."""
+    x = (coords[:, 0].astype(jnp.float32) - W * 0.5) / focal
+    y = -(coords[:, 1].astype(jnp.float32) - H * 0.5) / focal
+    dirs = jnp.stack([x, y, -jnp.ones_like(x)], axis=-1)
+    rays_d = jnp.sum(dirs[..., None, :] * pose[:3, :3], axis=-1)
+    rays_o = jnp.broadcast_to(pose[:3, -1], rays_d.shape)
+    return rays_o, rays_d
+
+
+def make_train_step_stage1(cfg: Config, coarse_model, fine_model,
+                           near: float, far: float):
+    """DS-NeRF batched training step (reference first_stage path)."""
+    render = make_render_fn(cfg, coarse_model, fine_model, near, far)
+    tx = make_optimizer(cfg)
+    t, d = cfg.train, cfg.data
+
+    def loss_fn(params, batches, rng):
+        k1, k2, k3 = jax.random.split(rng, 3)
+        clf = batches["clf"]
+        out = render(params, clf["o"], clf["d"], k1, train=True)
+        img_loss = img2mse(out.rgb, clf["target"])
+        loss = img_loss
+        if out.rgb0 is not None:
+            loss = loss + img2mse(out.rgb0, clf["target"])
+
+        inp = batches.get("inp")
+        depth_loss = jnp.zeros(())
+        if inp is not None:
+            out_i = render(params, inp["o"], inp["d"], k2, train=True)
+            depth_loss = img2mse(out_i.disp, inp["target"][:, 0])
+            loss = loss + d.depth_lambda * depth_loss
+
+        dep = batches.get("depth")
+        if dep is not None:
+            out_d = render(params, dep["o"], dep["d"], k3, train=True)
+            col_loss = weighted_mse(out_d.depth, dep["target"][:, 0],
+                                    dep["target"][:, 1])
+            loss = loss + d.sdepth_lambda * col_loss
+
+        return loss, {"img_loss": img_loss, "depth_loss": depth_loss,
+                      "psnr": mse2psnr(img_loss)}
+
+    @jax.jit
+    def step(state: TrainState, banks_dev, rng):
+        k_batch, k_loss = jax.random.split(rng)
+        ks = jax.random.split(k_batch, 3)
+        batches = {
+            "clf": sample_batch(banks_dev["rgb_clf"], ks[0], t.N_rand),
+            "inp": sample_batch(banks_dev["inp"], ks[1], t.N_rand),
+            "depth": (sample_batch(banks_dev["depth"], ks[2], t.N_rand)
+                      if banks_dev.get("depth") is not None else None),
+        }
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batches, k_loss)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = jax.tree_util.tree_map(
+            lambda p, u: p + u, state.params, updates)
+        metrics["loss"] = loss
+        return TrainState(state.step + 1, params, opt_state), metrics
+
+    return step
+
+
+def make_train_step_stage2(cfg: Config, coarse_model, fine_model,
+                           near: float, far: float,
+                           hwf, *, guidance_fn: Optional[GuidanceFn] = None):
+    """Masked-inpainting training step (reference second_stage path).
+
+    hwf: (H, W, focal) of the training views (static).
+    """
+    render = make_render_fn(cfg, coarse_model, fine_model, near, far)
+    tx = make_optimizer(cfg)
+    t, d, g = cfg.train, cfg.data, cfg.guidance
+    H, W, focal = int(hwf[0]), int(hwf[1]), float(hwf[2])
+
+    nrf = g.normalmap_render_factor
+    H_r, W_r, focal_r = H // nrf, W // nrf, focal / nrf
+    K_r = jnp.asarray([[focal_r, 0, W_r / 2], [0, focal_r, H_r / 2], [0, 0, 1]],
+                      jnp.float32)
+
+    def loss_fn(params, batch: Stage2Batch, step_i, rng):
+        k_m, k_c, k_i, k_d, k_n, k_g = jax.random.split(rng, 6)
+
+        # Unmasked RGB supervision (render #3 in the reference loop).
+        out2 = render(params, batch.clf["o"], batch.clf["d"], k_c, train=True)
+        img_loss = img2mse(out2.rgb, batch.clf["target"])
+        loss = img_loss
+        if out2.rgb0 is not None:
+            loss = loss + img2mse(out2.rgb0, batch.clf["target"])
+
+        # Inpainted-depth (disparity) supervision (render #4).
+        out_i = render(params, batch.inp["o"], batch.inp["d"], k_i, train=True)
+        depth_loss = img2mse(out_i.disp, batch.inp["target"][:, 0])
+        loss = loss + d.depth_lambda * depth_loss
+
+        # COLMAP sparse depth (sampled by the reference loop; weighted MSE).
+        if batch.depth is not None and d.colmap_depth:
+            out_d = render(params, batch.depth["o"], batch.depth["d"], k_d,
+                           train=True)
+            loss = loss + d.sdepth_lambda * weighted_mse(
+                out_d.depth, batch.depth["target"][:, 0],
+                batch.depth["target"][:, 1])
+
+        sds_loss = jnp.zeros(())
+        if guidance_fn is not None:
+            # Render the masked region and composite into the GT view
+            # (renders #1-#2 + combin_rgb, run.py:1371-1398).
+            ro, rd = _masked_rays(H, W, focal, batch.pose, batch.coords)
+            out_m = render(params, ro, rd, k_m, train=True)
+            rgb_m = jnp.where(batch.valid[:, None], out_m.rgb, 0.0)
+            combin = batch.image
+            combin = combin.at[batch.coords[:, 1], batch.coords[:, 0]].set(
+                jnp.where(batch.valid[:, None], rgb_m,
+                          combin[batch.coords[:, 1], batch.coords[:, 0]]))
+
+            normal_map = None
+            if g.is_normal_guidance:
+                ro_n, rd_n = _full_view_rays(H_r, W_r, focal_r, batch.pose)
+                out_n = render(params, ro_n.reshape(-1, 3), rd_n.reshape(-1, 3),
+                               k_n, train=True)
+                depth_n = out_n.depth.reshape(H_r, W_r)
+                pts = depth2xyz(depth_n, K_r)
+                normal_map = (depth2normal_geo(pts) + 1.0) / 2.0
+
+            sds_loss = guidance_fn(step_i, combin, normal_map, batch.mask, k_g)
+            loss = loss + g.sds_loss_weight * sds_loss
+
+        return loss, {"img_loss": img_loss, "depth_loss": depth_loss,
+                      "sds_loss": sds_loss, "psnr": mse2psnr(img_loss)}
+
+    @jax.jit
+    def step(state: TrainState, scene_dev, banks_dev, rng):
+        k_sel, k_loss = jax.random.split(rng)
+        batch = select_stage2_view(scene_dev, banks_dev, k_sel, t.N_rand)
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, state.step, k_loss)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = jax.tree_util.tree_map(
+            lambda p, u: p + u, state.params, updates)
+        metrics["loss"] = loss
+        return TrainState(state.step + 1, params, opt_state), metrics
+
+    return step
+
+
+def _full_view_rays(H: int, W: int, focal: float, pose):
+    j = jnp.arange(H, dtype=jnp.float32)[:, None]
+    i = jnp.arange(W, dtype=jnp.float32)[None, :]
+    x = (i - W * 0.5) / focal
+    y = -(j - H * 0.5) / focal
+    dirs = jnp.stack([jnp.broadcast_to(x, (H, W)),
+                      jnp.broadcast_to(y, (H, W)),
+                      -jnp.ones((H, W))], axis=-1)
+    rays_d = jnp.sum(dirs[..., None, :] * pose[:3, :3], axis=-1)
+    rays_o = jnp.broadcast_to(pose[:3, -1], rays_d.shape)
+    return rays_o, rays_d
