@@ -19,7 +19,13 @@ from typing import Optional, Tuple
 @dataclass(frozen=True)
 class FieldConfig:
     """Radiance-field architecture (reference: netdepth/netwidth/multires...)."""
-    no_tcnn: bool = False          # False → hash-grid field (reference default)
+    no_tcnn: bool = False          # True → classic PE MLP (reference --no_tcnn)
+    # grid field flavor when no_tcnn=False: "cp" = TPU-native CP-factorized
+    # grid (two-hot-matmul interp, fast on TPU); "hash" = strict tcnn
+    # HashGrid topology (slow on TPU: gather-bound; parity option).
+    field_type: str = "cp"
+    cp_resolutions: Tuple[int, ...] = (16, 32, 64, 128, 256)
+    cp_rank: int = 16
     netdepth: int = 8
     netwidth: int = 256
     netdepth_fine: int = 8
@@ -87,6 +93,10 @@ class GuidanceConfig:
     anneal_iters: int = 20000             # t = tmax − (tmax−tmin)·√(i/20000)
     normalmap_render_factor: int = 7
     lora_rank: int = 32
+    # Local diffusers-layout checkpoint dir for SD-inpainting weights
+    # (no network in this environment; random init when absent).
+    sd_weights_dir: Optional[str] = None
+    sd_tiny: bool = False          # tiny random SD stack (tests/smoke)
     prompt: str = ""
     prompt_normal: str = ""
     negative_prompt: str = ""
@@ -180,6 +190,8 @@ _FLAG_MAP = {
     "normalmap_render_factor": ("guidance", "normalmap_render_factor"),
     "prompt": ("guidance", "prompt"),
     "negative_prompt": ("guidance", "negative_prompt"),
+    "sd_weights_dir": ("guidance", "sd_weights_dir"),
+    "sd_tiny": ("guidance", "sd_tiny"),
     # reference aconfig_1.txt aliases
     "normal_start": ("guidance", "normal_start_iter"),
     "rgb_guidance_scale": ("guidance", "guidance_scale"),

@@ -113,6 +113,7 @@ def render_rays(
     white_bkgd: bool = False,
     detach_weights: bool = False,
     rng=None,
+    fast_resample: bool = True,
 ) -> RenderOutputs:
     """Hierarchical coarse→fine volume render of a ray batch.
 
@@ -150,12 +151,25 @@ def render_rays(
 
     rgb0, disp0, acc0, depth0 = rgb, disp, acc, depth
     z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
-    z_samples = sample_pdf(
-        z_mid, jax.lax.stop_gradient(weights[..., 1:-1]), N_importance,
-        det=not perturb, rng=k_pdf,
-    )
-    z_samples = jax.lax.stop_gradient(z_samples)
-    z_all = merge_z_vals(z_vals, z_samples)
+    if fast_resample:
+        # Gather-free inverse CDF with directly-sorted uniforms + sortless
+        # merge (ops/resample.py) — exact drop-in for the oracle below, no
+        # gathers or bitonic sorts in the hot path.
+        from ..ops.resample import merge_sorted_onehot, sample_pdf_onehot
+
+        z_samples = sample_pdf_onehot(
+            z_mid, jax.lax.stop_gradient(weights[..., 1:-1]), N_importance,
+            det=not perturb, rng=k_pdf, sorted_u=True,
+        )
+        z_samples = jax.lax.stop_gradient(z_samples)
+        z_all = merge_sorted_onehot(z_vals, z_samples)
+    else:
+        z_samples = sample_pdf(
+            z_mid, jax.lax.stop_gradient(weights[..., 1:-1]), N_importance,
+            det=not perturb, rng=k_pdf,
+        )
+        z_samples = jax.lax.stop_gradient(z_samples)
+        z_all = merge_z_vals(z_vals, z_samples)
 
     pts = rays_o[..., None, :] + rays_d[..., None, :] * z_all[..., :, None]
     raw = (fine_fn or coarse_fn)(pts, viewdirs)

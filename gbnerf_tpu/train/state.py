@@ -39,11 +39,16 @@ def build_field(cfg: Config, fine: bool = False) -> nn.Module:
             multires=f.multires, multires_views=f.multires_views,
             use_viewdirs=f.use_viewdirs, compute_dtype=dtype,
         )
-    return HashGridField(
-        bound=f.bound, n_levels=f.n_levels, n_features=f.n_features,
-        log2_hashmap_size=f.log2_hashmap_size, base_res=f.base_res,
-        compute_dtype=dtype,
-    )
+    if f.field_type == "hash":
+        return HashGridField(
+            bound=f.bound, n_levels=f.n_levels, n_features=f.n_features,
+            log2_hashmap_size=f.log2_hashmap_size, base_res=f.base_res,
+            compute_dtype=dtype,
+        )
+    from ..core.cp_field import CPGridField
+
+    return CPGridField(bound=f.bound, resolutions=tuple(f.cp_resolutions),
+                       rank=f.cp_rank)
 
 
 def lr_schedule(cfg: Config):

@@ -1,0 +1,207 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gbnerf_tpu.config import GuidanceConfig
+from gbnerf_tpu.guidance import (
+    AutoencoderKL, CLIPTextConfig, CLIPTextEncoder, DiffusionSchedule,
+    SDModules, Tokenizer, UNet2DCondition, UNetConfig, VAEConfig,
+    build_sd_modules, cfg_combine_bsd, cfg_combine_sds, inject_gradient,
+    make_guidance_fn, score_distillation_grad,
+    weighted_perpendicular_aggregator, rand_poses,
+)
+
+
+# ---------- schedule ----------
+
+def test_schedule_matches_known_sd_values():
+    s = DiffusionSchedule.sd_v1()
+    assert s.betas.shape == (1000,)
+    np.testing.assert_allclose(s.betas[0], 0.00085, rtol=1e-5)
+    np.testing.assert_allclose(s.betas[-1], 0.012, rtol=1e-5)
+    # ᾱ decreasing in (0, 1)
+    assert (np.diff(s.alphas_cumprod) < 0).all()
+    assert 0 < s.alphas_cumprod[-1] < s.alphas_cumprod[0] < 1
+    # SD's well-known ᾱ_0 = 1 - 0.00085
+    np.testing.assert_allclose(s.alphas_cumprod[0], 1 - 0.00085, rtol=1e-6)
+
+
+def test_add_noise_endpoints(key):
+    s = DiffusionSchedule.sd_v1()
+    x0 = jax.random.normal(key, (2, 4, 4, 4))
+    noise = jax.random.normal(jax.random.fold_in(key, 1), x0.shape)
+    x_early = s.add_noise(x0, noise, jnp.asarray(0))
+    assert float(jnp.mean((x_early - x0) ** 2)) < 0.01
+    x_late = s.add_noise(x0, noise, jnp.asarray(999))
+    assert float(jnp.mean((x_late - noise) ** 2)) < 0.05
+
+
+def test_annealed_t_monotone():
+    s = DiffusionSchedule.sd_v1()
+    ts = [int(s.annealed_t(i, (0.02, 0.98), 20000)) for i in
+          (0, 1000, 5000, 20000, 50000)]
+    assert ts[0] == 980
+    assert all(a >= b for a, b in zip(ts, ts[1:]))
+    assert ts[-1] == 20
+
+
+# ---------- sds math ----------
+
+def test_cfg_combines():
+    u, t, n = jnp.ones(4), 2 * jnp.ones(4), 3 * jnp.ones(4)
+    np.testing.assert_allclose(cfg_combine_sds(u, t, 7.5), 1 + 7.5 * 1.0)
+    # BSD: w1*t + w3*n - w2*u
+    np.testing.assert_allclose(cfg_combine_bsd(n, u, t, 1.0, 0.5, 7.5),
+                               1 * 2 + 7.5 * 3 - 0.5 * 1)
+
+
+def test_inject_gradient_grad_is_masked_grad(key):
+    lat = jax.random.normal(key, (1, 8, 8, 4))
+    g = jax.random.normal(jax.random.fold_in(key, 1), lat.shape)
+    mask = (jax.random.uniform(jax.random.fold_in(key, 2), (1, 8, 8, 1)) > 0.5
+            ).astype(jnp.float32)
+    grad = jax.grad(lambda l: inject_gradient(l, g, mask))(lat)
+    np.testing.assert_allclose(np.asarray(grad), np.asarray(g * mask), atol=1e-6)
+
+
+def test_score_distillation_grad_modes(key):
+    pred = jax.random.normal(key, (1, 4, 4, 4))
+    noise = jax.random.normal(jax.random.fold_in(key, 1), pred.shape)
+    w = 0.7
+    np.testing.assert_allclose(
+        np.asarray(score_distillation_grad(pred, noise, w, mode="csd")),
+        np.asarray(w * pred), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(score_distillation_grad(pred, noise, w, mode="sds")),
+        np.asarray(w * pred - noise), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(score_distillation_grad(pred, noise, w, mode="sds",
+                                           standard_sds=True)),
+        np.asarray(w * (pred - noise)), atol=1e-6)
+
+
+def test_perpneg_aggregator(key):
+    B = 2
+    main = jax.random.normal(key, (B, 4, 4, 4))
+    aux = jax.random.normal(jax.random.fold_in(key, 1), (B, 4, 4, 4))
+    stacked = jnp.concatenate([main, aux])
+    w = jnp.ones((B,)) * 0.5
+    out = weighted_perpendicular_aggregator(stacked, w, B)
+    # residual of aux must be ⟂ main
+    perp = out - main
+    dots = jnp.sum(perp * main, axis=(1, 2, 3))
+    np.testing.assert_allclose(np.asarray(dots), 0.0, atol=1e-3)
+
+
+# ---------- models (tiny configs) ----------
+
+def test_unet_forward_shapes(key):
+    cfg = UNetConfig.tiny()
+    unet = UNet2DCondition(cfg)
+    x = jnp.zeros((2, 16, 16, 9))
+    ctx = jnp.zeros((2, 7, cfg.cross_attention_dim))
+    params = unet.init(key, x, jnp.zeros(()), ctx)["params"]
+    out = unet.apply({"params": params}, x, jnp.asarray([5, 500]), ctx)
+    assert out.shape == (2, 16, 16, 4)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_vae_roundtrip_shapes(key):
+    vae = AutoencoderKL(VAEConfig.tiny())
+    x = jax.random.uniform(key, (1, 32, 32, 3)) * 2 - 1
+    params = vae.init(key, x)["params"]
+    z = vae.apply({"params": params}, x, method=AutoencoderKL.encode)
+    assert z.shape == (1, 4, 4, 4)
+    y = vae.apply({"params": params}, z, method=AutoencoderKL.decode)
+    assert y.shape == (1, 32, 32, 3)
+
+
+def test_vae_encode_is_differentiable(key):
+    vae = AutoencoderKL(VAEConfig.tiny())
+    x = jax.random.uniform(key, (1, 32, 32, 3))
+    params = vae.init(key, x)["params"]
+
+    def f(x):
+        return jnp.sum(vae.apply({"params": params}, x,
+                                 method=AutoencoderKL.encode) ** 2)
+
+    g = jax.grad(f)(x)
+    assert float(jnp.abs(g).max()) > 0
+
+
+def test_text_encoder_and_tokenizer(key):
+    tcfg = CLIPTextConfig.tiny()
+    enc = CLIPTextEncoder(tcfg)
+    tok = Tokenizer(max_length=tcfg.max_length, vocab_size=tcfg.vocab_size)
+    ids = tok(["a stone park bench", ""])
+    assert ids.shape == (2, 77)
+    ids = np.clip(ids, 0, tcfg.vocab_size - 1)
+    params = enc.init(key, jnp.asarray(ids))["params"]
+    out = enc.apply({"params": params}, jnp.asarray(ids))
+    assert out.shape == (2, 77, tcfg.width)
+    # causality: changing a late token must not affect earlier positions
+    ids2 = ids.copy()
+    ids2[0, 50] = (ids2[0, 50] + 1) % tcfg.vocab_size
+    out2 = enc.apply({"params": params}, jnp.asarray(ids2))
+    np.testing.assert_allclose(np.asarray(out[0, :50]),
+                               np.asarray(out2[0, :50]), atol=1e-5)
+    assert not np.allclose(np.asarray(out[0, 50:]), np.asarray(out2[0, 50:]))
+
+
+def test_rand_poses(key):
+    poses, dirs, thetas, phis, radii = rand_poses(key, 16)
+    assert poses.shape == (16, 4, 4)
+    # orthonormal rotation
+    R = np.asarray(poses[:, :3, :3])
+    eye = np.einsum("bij,bkj->bik", R, R)
+    np.testing.assert_allclose(eye, np.broadcast_to(np.eye(3), eye.shape),
+                               atol=1e-5)
+    assert set(np.asarray(dirs).tolist()) <= {0, 1, 2, 3, 4, 5}
+
+
+# ---------- end-to-end tiny guidance ----------
+
+@pytest.fixture(scope="module")
+def tiny_mods():
+    gcfg = GuidanceConfig(prompt="a thing", prompt_normal="a normal map",
+                          negative_prompt="bad")
+    mods = build_sd_modules(
+        gcfg, jax.random.PRNGKey(0),
+        unet_config=UNetConfig.tiny(),
+        vae_config=VAEConfig.tiny(),
+        text_config=CLIPTextConfig(vocab_size=49408, width=32, layers=2,
+                                   heads=2),
+        latent_size=64, dtype=jnp.float32)
+    return gcfg, mods
+
+
+def test_guidance_fn_end_to_end(tiny_mods, key):
+    gcfg, mods = tiny_mods
+    fn = make_guidance_fn(mods, gcfg)
+    H = W = 24
+    rgb = jax.random.uniform(key, (H, W, 3))
+    normal = jax.random.uniform(jax.random.fold_in(key, 1), (12, 12, 3))
+    mask = (jax.random.uniform(jax.random.fold_in(key, 2), (H, W)) > 0.7
+            ).astype(jnp.float32)
+    loss = fn(jnp.asarray(1000), rgb, normal, mask, jax.random.fold_in(key, 3))
+    assert np.isfinite(float(loss))
+
+    # gradient flows back to the rendered composite through the VAE
+    g = jax.grad(lambda r: fn(jnp.asarray(1000), r, normal, mask,
+                              jax.random.fold_in(key, 3)))(rgb)
+    assert float(jnp.abs(g).max()) > 0
+
+
+def test_guidance_normal_gated_by_start_iter(tiny_mods, key):
+    gcfg, mods = tiny_mods
+    fn = make_guidance_fn(mods, gcfg)
+    H = W = 16
+    rgb = jax.random.uniform(key, (H, W, 3))
+    normal = jax.random.uniform(jax.random.fold_in(key, 1), (8, 8, 3))
+    mask = jnp.ones((H, W))
+    k = jax.random.fold_in(key, 2)
+    early = float(fn(jnp.asarray(0), rgb, normal, mask, k))
+    late = float(fn(jnp.asarray(10000), rgb, normal, mask, k))
+    # same rng: the difference must be exactly the gated normal term
+    assert early != late
