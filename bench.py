@@ -11,9 +11,11 @@ the program returns a single scalar. This is deliberate: on the axon-tunneled
 TPU, ``block_until_ready`` does not await execution and host transfers run
 ~30 MB/s, so any host-side per-call timing measures the tunnel, not the chip.
 
-Flagship = the bf16 MLP field (reference --no_tcnn path). The hash-grid field
-(tcnn-parity path) is implemented but gather-bound on TPU (XLA dynamic-gather
-~10M elem/s → ~0.015 M rays/s); its Pallas fast path is tracked in ops/.
+Flagship = the TPU-native CP-factorized grid field (interpolation as
+two-hot/triangle matmuls on the MXU — core/cp_field.py, ops/cp_pallas.py)
+with gather-free inverse-CDF resampling (ops/resample.py). Measured history
+on v5e at this workload: hash-grid (tcnn parity) 0.015 → MLP bf16 0.54 →
+CP + fast resample 0.82 → unified CP 1.72 M rays/s.
 """
 from __future__ import annotations
 
@@ -31,7 +33,9 @@ def main():
     from gbnerf_tpu.train.step import make_render_fn
 
     cfg = Config(
-        field=FieldConfig(no_tcnn=True, compute_dtype="bfloat16"),
+        # Flagship: the TPU-native CP-grid field (two-hot/triangle matmul
+        # interpolation, core/cp_field.py) with gather-free resampling.
+        field=FieldConfig(no_tcnn=False, field_type="cp"),
         render=RenderConfig(N_samples=64, N_importance=64, lindisp=True,
                             white_bkgd=True),
     )

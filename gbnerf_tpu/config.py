@@ -24,7 +24,7 @@ class FieldConfig:
     # grid (two-hot-matmul interp, fast on TPU); "hash" = strict tcnn
     # HashGrid topology (slow on TPU: gather-bound; parity option).
     field_type: str = "cp"
-    cp_resolutions: Tuple[int, ...] = (16, 32, 64, 128, 256)
+    cp_resolutions: Tuple[int, ...] = (17, 33, 65, 129, 257)
     cp_rank: int = 16
     netdepth: int = 8
     netwidth: int = 256
