@@ -186,6 +186,53 @@ def sd_train_step(mods: SDModules, gcfg: GuidanceConfig, step_i, rgb, mask,
     return inject_gradient(latents_t, grad, mask_latent)
 
 
+def sd_train_step_colla(mods: SDModules, gcfg: GuidanceConfig, step_i,
+                        rgbs, masks, rng):
+    """Collaborative SDS over K neighbor views (train_step_colla_sds,
+    sd_utils.py:525-724): per-view 3-way combine
+    w1·ε_text + (w2−w1)·ε_null − w2·ε_uncond, losses summed.
+
+    Args:
+      rgbs: [K, H, W, 3] rendered neighbor views in [0, 1].
+      masks: [K, H, W] per-view inpaint masks.
+    """
+    S, LR = mods.latent_size, mods.latent_res
+    sched = mods.schedule
+    K = rgbs.shape[0]
+    k_noise, k_enc1, k_enc2 = jax.random.split(rng, 3)
+
+    rgb512 = _resize(rgbs, S) * 2.0 - 1.0                    # [K,S,S,3]
+    mask512 = _resize(jnp.abs(masks)[..., None], S)          # [K,S,S,1]
+    masked_image = rgb512 * (mask512 < 0.5)
+
+    vae_apply = lambda img, k: mods.vae.apply(
+        {"params": mods.vae_params}, img, k, method=AutoencoderKL.encode)
+    init_latents = vae_apply(rgb512, k_enc1)                 # [K,LR,LR,4]
+    masked_latents = jax.lax.stop_gradient(vae_apply(masked_image, k_enc2))
+    mask_latent = _resize(mask512, LR, method="nearest")
+
+    t = sched.annealed_t(step_i, gcfg.t_range, gcfg.anneal_iters)
+    noise = jax.random.normal(k_noise, init_latents.shape)
+    latents_t = sched.add_noise(init_latents, noise, t)
+
+    # [3K]: (null×K, uncond×K, text×K)
+    lat_in = jnp.concatenate([latents_t] * 3, axis=0)
+    unet_in = jnp.concatenate(
+        [lat_in,
+         jnp.concatenate([mask_latent] * 3, axis=0),
+         jnp.concatenate([masked_latents] * 3, axis=0)], axis=-1)
+    emb = jnp.repeat(mods.embeds_rgb, K, axis=0)             # [3K,L,D]
+
+    eps = mods.unet.apply({"params": mods.unet_params},
+                          jax.lax.stop_gradient(unet_in), t, emb)
+    eps = jax.lax.stop_gradient(eps).reshape(3, K, LR, LR, 4)
+    pred = cfg_combine_colla(eps[0], eps[1], eps[2], gcfg.w1, gcfg.w2)
+
+    grad = score_distillation_grad(pred, noise, sched.sds_weight(t),
+                                   mode="csd")
+    return inject_gradient(latents_t, grad, mask_latent)
+
+
 def make_guidance_fn(mods: SDModules, gcfg: GuidanceConfig):
     """Build the train-step guidance hook (step.py GuidanceFn contract).
 
@@ -194,13 +241,17 @@ def make_guidance_fn(mods: SDModules, gcfg: GuidanceConfig):
     with its own CFG scale; modality losses sum into one scalar.
     """
 
-    def guidance_fn(step_i, combin_rgb, normal_map, mask, rng):
-        k_rgb, k_n = jax.random.split(rng)
+    def guidance_fn(step_i, combin_rgb, normal_map, mask, rng,
+                    rgbs4=None, masks4=None):
+        k_rgb, k_n, k_c = jax.random.split(rng, 3)
         loss = jnp.zeros(())
         if gcfg.is_rgb_guidance:
             loss = loss + sd_train_step(
                 mods, gcfg, step_i, combin_rgb, mask, k_rgb,
                 embeds=mods.embeds_rgb, guidance_scale=gcfg.guidance_scale)
+        if gcfg.is_colla_guidance and rgbs4 is not None:
+            loss = loss + sd_train_step_colla(
+                mods, gcfg, step_i, rgbs4, masks4, k_c)
         if gcfg.is_normal_guidance and normal_map is not None:
             nloss = sd_train_step(
                 mods, gcfg, step_i, normal_map, mask, k_n,

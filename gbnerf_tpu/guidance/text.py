@@ -90,12 +90,14 @@ class CLIPTextEncoder(nn.Module):
 class Tokenizer:
     """CLIP BPE tokenizer with a deterministic no-vocab fallback."""
 
-    BOS, EOS = 49406, 49407
+    BOS, EOS = 49406, 49407  # real CLIP vocab; scaled for tiny test vocabs
 
     def __init__(self, vocab_dir: Optional[str] = None,
                  max_length: int = 77, vocab_size: int = 49408):
         self.max_length = max_length
         self.vocab_size = vocab_size
+        self.bos = self.BOS if vocab_size > self.BOS else vocab_size - 2
+        self.eos = self.EOS if vocab_size > self.EOS else vocab_size - 1
         self._hf = None
         if vocab_dir:
             try:
@@ -122,11 +124,11 @@ class Tokenizer:
         """
         import hashlib
 
-        ids = [self.BOS]
+        ids = [self.bos]
         for w in text.lower().split()[: self.max_length - 2]:
             h = int.from_bytes(
                 hashlib.md5(w.encode("utf-8")).digest()[:4], "little")
             ids.append(h % (self.vocab_size - 3) + 1)
-        ids.append(self.EOS)
-        ids += [self.EOS] * (self.max_length - len(ids))
+        ids.append(self.eos)
+        ids += [self.eos] * (self.max_length - len(ids))
         return np.asarray(ids[: self.max_length], np.int32)

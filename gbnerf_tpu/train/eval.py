@@ -38,6 +38,40 @@ def render_pose_path(render_fn, params, poses, hwf, *, render_factor: int = 0,
             "depth": np.stack(depths)}
 
 
+def render_test_ray(render_fn, params, ray_o, ray_d, *, near: float,
+                    far: float, n_samples: int = 256):
+    """σ/weight profile along a single ray (reference render_test_ray +
+    visualize_sigma debugging path, run.py:1972, run_nerf_helpers.py:481)."""
+    import jax.numpy as jnp
+
+    out = render_fn(params, ray_o[None], ray_d[None], None, train=False)
+    return {
+        "z_vals": np.asarray(out.z_vals[0]),
+        "weights": np.asarray(out.weights[0]),
+        "alpha": np.asarray(out.alpha[0]),
+        "depth": float(out.depth[0]),
+        "rgb": np.asarray(out.rgb[0]),
+    }
+
+
+def visualize_sigma(profile: dict, path: str) -> None:
+    """Plot the per-sample weight profile of one ray to a PNG."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(6, 3))
+    ax.plot(profile["z_vals"], profile["weights"])
+    ax.axvline(profile["depth"], color="r", ls="--", label="depth")
+    ax.set_xlabel("z")
+    ax.set_ylabel("weight")
+    ax.legend()
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    fig.savefig(path, dpi=100, bbox_inches="tight")
+    plt.close(fig)
+
+
 def save_video(frames: np.ndarray, path: str, fps: int = 30) -> str:
     """Write an mp4 (reference rgb.mp4/disp.mp4 artifacts); falls back to GIF
     when no ffmpeg backend is available in the environment."""

@@ -116,15 +116,24 @@ class Stage2Batch(NamedTuple):
     clf: Dict[str, jnp.ndarray]    # unmasked ray batch {o, d, target[3]}
     inp: Dict[str, jnp.ndarray]    # inpainted-disp ray batch {o, d, target[1]}
     depth: Optional[Dict[str, jnp.ndarray]]  # colmap {o, d, target[depth, w]}
+    colla_poses: Optional[jnp.ndarray] = None  # [4, 3, 4] neighbor views
+    colla_masks: Optional[jnp.ndarray] = None  # [4, H, W]
 
 
 def select_stage2_view(scene_dev: Dict[str, jnp.ndarray], banks_dev, rng,
-                       n_rand: int):
+                       n_rand: int, *, n_colla: int = 0):
     """Assemble a Stage2Batch on device: random view + stream batches."""
-    k_img, k_clf, k_inp, k_dep = jax.random.split(rng, 4)
+    k_img, k_clf, k_inp, k_dep, k_col = jax.random.split(rng, 5)
     n_img = scene_dev["images"].shape[0]
     img_i = jax.random.randint(k_img, (), 0, n_img)
+    colla_poses = colla_masks = None
+    if n_colla:
+        ci = jax.random.randint(k_col, (n_colla,), 0, n_img)
+        colla_poses = scene_dev["poses"][ci, :3, :4]
+        colla_masks = scene_dev["masks"][ci]
     batch = Stage2Batch(
+        colla_poses=colla_poses,
+        colla_masks=colla_masks,
         image=scene_dev["images"][img_i],
         mask=scene_dev["masks"][img_i],
         coords=scene_dev["mask_coords"][img_i],
@@ -263,7 +272,27 @@ def make_train_step_stage2(cfg: Config, coarse_model, fine_model,
                 pts = depth2xyz(depth_n, K_r)
                 normal_map = (depth2normal_geo(pts) + 1.0) / 2.0
 
-            sds_loss = guidance_fn(step_i, combin, normal_map, batch.mask, k_g)
+            rgbs4 = masks4 = None
+            if g.is_colla_guidance and batch.colla_poses is not None:
+                # Collaborative neighbor views at reduced resolution
+                # (reference render_path_4view, run.py:1894-1930).
+                def render_view(pose):
+                    ro, rd = _full_view_rays(H_r, W_r, focal_r, pose)
+                    o = render(params, ro.reshape(-1, 3), rd.reshape(-1, 3),
+                               None, train=False)
+                    return o.rgb.reshape(H_r, W_r, 3)
+
+                rgbs4 = jax.lax.map(render_view, batch.colla_poses)
+                masks4 = jax.image.resize(
+                    batch.colla_masks, (batch.colla_masks.shape[0], H_r, W_r),
+                    method="nearest")
+
+            if rgbs4 is not None:
+                sds_loss = guidance_fn(step_i, combin, normal_map, batch.mask,
+                                       k_g, rgbs4=rgbs4, masks4=masks4)
+            else:
+                sds_loss = guidance_fn(step_i, combin, normal_map, batch.mask,
+                                       k_g)
             loss = loss + g.sds_loss_weight * sds_loss
 
         return loss, {"img_loss": img_loss, "depth_loss": depth_loss,
@@ -272,7 +301,9 @@ def make_train_step_stage2(cfg: Config, coarse_model, fine_model,
     @jax.jit
     def step(state: TrainState, scene_dev, banks_dev, rng):
         k_sel, k_loss = jax.random.split(rng)
-        batch = select_stage2_view(scene_dev, banks_dev, k_sel, t.N_rand)
+        batch = select_stage2_view(
+            scene_dev, banks_dev, k_sel, t.N_rand,
+            n_colla=4 if (g.is_colla_guidance and guidance_fn) else 0)
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch, state.step, k_loss)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)

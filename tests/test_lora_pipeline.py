@@ -1,0 +1,154 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gbnerf_tpu.config import GuidanceConfig
+from gbnerf_tpu.guidance import (CLIPTextConfig, UNetConfig, VAEConfig,
+                                 build_sd_modules)
+from gbnerf_tpu.guidance.lora import (apply_lora, init_lora, load_lora,
+                                      lora_param_count, save_lora)
+from gbnerf_tpu.guidance.pipeline import get_timesteps, inpaint, prompt_to_img
+from gbnerf_tpu.guidance.stable import sd_train_step_colla
+from gbnerf_tpu.guidance.clip_guidance import CLIPGuidance, CLIPVisionConfig
+from gbnerf_tpu.utils.lpips import LPIPS
+
+
+@pytest.fixture(scope="module")
+def tiny_mods():
+    gcfg = GuidanceConfig(prompt="a bench", negative_prompt="ugly")
+    mods = build_sd_modules(
+        gcfg, jax.random.PRNGKey(0),
+        unet_config=UNetConfig.tiny(), vae_config=VAEConfig.tiny(),
+        text_config=CLIPTextConfig(vocab_size=49408, width=32, layers=2,
+                                   heads=2),
+        latent_size=64, dtype=jnp.float32)
+    return gcfg, mods
+
+
+# ---------- LoRA ----------
+
+def test_lora_init_targets_attention(tiny_mods, key):
+    _, mods = tiny_mods
+    lora = init_lora(key, mods.unet_params, rank=4)
+    n = lora_param_count(lora)
+    assert n > 0
+    flat = jax.tree_util.tree_leaves_with_path(lora)
+    paths = {"/".join(str(k.key) for k in p) for p, _ in flat}
+    assert any("to_q" in p for p in paths)
+    assert any("ff" in p for p in paths)
+
+
+def test_lora_identity_at_init_and_changes_after(tiny_mods, key):
+    _, mods = tiny_mods
+    lora = init_lora(key, mods.unet_params, rank=4)
+    eff = apply_lora(mods.unet_params, lora, rank=4)
+    # B = 0 at init → no change
+    for a, b in zip(jax.tree_util.tree_leaves(mods.unet_params),
+                    jax.tree_util.tree_leaves(eff)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+    # perturb B → target leaves change
+    lora2 = jax.tree_util.tree_map(lambda x: x + 0.1, lora)
+    eff2 = apply_lora(mods.unet_params, lora2, rank=4)
+    diffs = sum(
+        float(jnp.abs(a - b).max()) > 0
+        for a, b in zip(jax.tree_util.tree_leaves(eff),
+                        jax.tree_util.tree_leaves(eff2)))
+    assert diffs > 0
+
+
+def test_lora_save_load_roundtrip(tmp_path, tiny_mods, key):
+    _, mods = tiny_mods
+    lora = init_lora(key, mods.unet_params, rank=4)
+    p = str(tmp_path / "lora.safetensors")
+    save_lora(jax.device_get(lora), p)
+    back = load_lora(p)
+    for a, b in zip(jax.tree_util.tree_leaves(lora),
+                    jax.tree_util.tree_leaves(back)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_lora_train_step_reduces_loss(tiny_mods, key):
+    _, mods = tiny_mods
+    from gbnerf_tpu.train.lora_trainer import make_lora_train_step
+
+    init_fn, step = make_lora_train_step(mods, rank=4, lr=1e-3)
+    lora, opt = init_fn(key)
+    B, S = 2, 64
+    batch = {
+        "image": jax.random.uniform(key, (B, S, S, 3)) * 2 - 1,
+        "mask": (jax.random.uniform(jax.random.fold_in(key, 1),
+                                    (B, S, S)) > 0.6).astype(jnp.float32),
+        "embeds": jax.random.normal(jax.random.fold_in(key, 2), (B, 77, 32)),
+        "instance_mask": None,
+    }
+    losses = []
+    for i in range(20):
+        lora, opt, m = step(lora, opt, batch,
+                            jax.random.PRNGKey(123))  # fixed noise → fit it
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0], losses[::5]
+
+
+# ---------- pipeline ----------
+
+def test_get_timesteps():
+    ts = get_timesteps(50, 1.0)
+    assert len(ts) == 50 and ts[0] == 980 and ts[-1] == 0
+    ts2 = get_timesteps(50, 0.5)
+    assert len(ts2) == 25
+
+
+def test_inpaint_pipeline_runs(tiny_mods, key):
+    _, mods = tiny_mods
+    img = jax.random.uniform(key, (32, 32, 3))
+    mask = jnp.zeros((32, 32)).at[8:20, 8:20].set(1.0)
+    out = inpaint(mods, mods.embeds_rgb, img, mask, key,
+                  num_inference_steps=4)
+    assert out.shape == (64, 64, 3)
+    assert np.isfinite(np.asarray(out)).all()
+    assert 0.0 <= float(out.min()) and float(out.max()) <= 1.0
+
+
+def test_prompt_to_img_runs(tiny_mods, key):
+    _, mods = tiny_mods
+    out = prompt_to_img(mods, mods.embeds_rgb, key, steps=3)
+    assert out.shape == (64, 64, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+# ---------- collaborative SDS ----------
+
+def test_colla_sds_runs_and_grads(tiny_mods, key):
+    gcfg, mods = tiny_mods
+    rgbs = jax.random.uniform(key, (4, 16, 16, 3))
+    masks = (jax.random.uniform(jax.random.fold_in(key, 1), (4, 16, 16))
+             > 0.5).astype(jnp.float32)
+    loss = sd_train_step_colla(mods, gcfg, jnp.asarray(100), rgbs, masks, key)
+    assert np.isfinite(float(loss))
+    g = jax.grad(lambda r: sd_train_step_colla(
+        mods, gcfg, jnp.asarray(100), r, masks, key))(rgbs)
+    assert float(jnp.abs(g).max()) > 0
+
+
+# ---------- CLIP guidance + LPIPS ----------
+
+def test_clip_guidance_loss(key):
+    cg = CLIPGuidance(key, "a bench",
+                      vision_config=CLIPVisionConfig.tiny(),
+                      text_config=CLIPTextConfig.tiny())
+    img = jax.random.uniform(key, (24, 24, 3))
+    loss = cg.loss(img, scale=2.0)
+    assert np.isfinite(float(loss))
+    g = jax.grad(lambda im: cg.loss(im))(img)
+    assert float(jnp.abs(g).max()) > 0
+
+
+def test_lpips_zero_for_identical_and_positive_otherwise(key):
+    lp = LPIPS(key)
+    a = jax.random.uniform(key, (2, 32, 32, 3))
+    b = jax.random.uniform(jax.random.fold_in(key, 1), (2, 32, 32, 3))
+    d_same = np.asarray(lp(a, a))
+    d_diff = np.asarray(lp(a, b))
+    np.testing.assert_allclose(d_same, 0.0, atol=1e-6)
+    assert (d_diff > 1e-4).all()

@@ -1,0 +1,82 @@
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from gbnerf_tpu.data.colmap import (Camera, Image, Point3D, rotmat2qvec,
+                                    write_cameras_binary, write_images_binary,
+                                    write_points3d_binary)
+from gbnerf_tpu.data.llff import load_poses_bounds
+from gbnerf_tpu.data.pose_utils import colmap_to_poses_bounds
+from gbnerf_tpu.utils.profiling import StepTimer, nan_guard
+
+
+def make_synthetic_colmap(tmp_path, rng, n_img=4):
+    sparse = tmp_path / "sparse" / "0"
+    os.makedirs(sparse, exist_ok=True)
+    cams = {1: Camera(1, "PINHOLE", 640, 480,
+                      np.array([500.0, 500.0, 320.0, 240.0]))}
+    write_cameras_binary(cams, str(sparse / "cameras.bin"))
+
+    pts = {}
+    for i in range(1, 40):
+        pts[i] = Point3D(i, rng.normal(size=3) + np.array([0, 0, 4.0]),
+                         np.zeros(3, np.uint8), float(rng.random()),
+                         np.array([1], np.int32), np.array([0], np.int32))
+    write_points3d_binary(pts, str(sparse / "points3D.bin"))
+
+    images, c2ws = {}, []
+    for k in range(n_img):
+        q, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+        if np.linalg.det(q) < 0:
+            q[:, 0] *= -1
+        t = rng.normal(size=3)
+        w2c = np.eye(4)
+        w2c[:3, :3], w2c[:3, 3] = q, t
+        c2w = np.linalg.inv(w2c)
+        c2ws.append(c2w[:3, :4])
+        pids = np.array(sorted(rng.choice(np.arange(1, 40), 10,
+                                          replace=False)), np.int64)
+        images[k + 1] = Image(k + 1, rotmat2qvec(q), t, 1,
+                              f"img_{k:03d}.png",
+                              rng.random((10, 2)) * 100, pids)
+    write_images_binary(images, str(sparse / "images.bin"))
+    return np.stack(c2ws)
+
+
+def test_colmap_to_poses_bounds_roundtrip(tmp_path, rng):
+    c2ws = make_synthetic_colmap(tmp_path, rng)
+    arr = colmap_to_poses_bounds(str(tmp_path))
+    assert arr.shape == (4, 17)
+    np.save(tmp_path / "poses_bounds.npy", arr)
+
+    poses, bds = load_poses_bounds(str(tmp_path))
+    # After the loader's [-u, r, -t] → [r, u, -t] fix, translation and the
+    # camera axes must match the original COLMAP c2w up to the OpenGL flip
+    # (x right, y up, z backward vs COLMAP x right, y down, z forward).
+    for k in range(4):
+        np.testing.assert_allclose(poses[k, :3, 3], c2ws[k][:, 3], atol=1e-5)
+        np.testing.assert_allclose(poses[k, :3, 0], c2ws[k][:, 0], atol=1e-5)
+        np.testing.assert_allclose(poses[k, :3, 1], -c2ws[k][:, 1], atol=1e-5)
+        np.testing.assert_allclose(poses[k, :3, 2], -c2ws[k][:, 2], atol=1e-5)
+    assert (bds[:, 0] < bds[:, 1]).all()
+    # hwf column
+    np.testing.assert_allclose(poses[0, :, 4], [480, 640, 500], atol=1e-5)
+
+
+def test_nan_guard():
+    good = {"a": jnp.ones((4,)), "b": {"c": jnp.zeros((2, 2))}}
+    bad = {"a": jnp.ones((4,)).at[1].set(jnp.nan), "b": good["b"]}
+    assert not bool(nan_guard(good))
+    assert bool(nan_guard(bad))
+
+
+def test_step_timer_skips_compile_interval():
+    t = StepTimer()
+    t.tick(10)      # "compile" interval — excluded
+    import time
+
+    time.sleep(0.01)
+    t.tick(10)
+    assert t.steps == 10
+    assert t.steady_rate > 0
