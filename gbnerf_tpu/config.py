@@ -26,6 +26,10 @@ class FieldConfig:
     field_type: str = "cp"
     cp_resolutions: Tuple[int, ...] = (17, 33, 65, 129, 257)
     cp_rank: int = 16
+    # CP grids have FIXED per-axis node budgets (unlike the hash grid, whose
+    # fine levels keep resolving inside a huge bound) — so the CP bound must
+    # hug the scene. LLFF-rescaled scenes fit comfortably in ±8.
+    cp_bound: float = 8.0
     netdepth: int = 8
     netwidth: int = 256
     netdepth_fine: int = 8
@@ -116,6 +120,9 @@ class TrainConfig:
     lpips: bool = False
     lpips_weight: float = 0.01
     patch_len: int = 64
+    n_patches: int = 4
+    gradient_clip: bool = False    # pwclip on rendered tensors (run.py:56-78)
+    ema_decay: float = 0.0         # >0 → track an EMA of params
     # cadence
     i_print: int = 100
     i_weights: int = 2000
@@ -162,6 +169,9 @@ _FLAG_MAP = {
     "netwidth_fine": ("field", "netwidth_fine"), "multires": ("field", "multires"),
     "multires_views": ("field", "multires_views"),
     "use_viewdirs": ("field", "use_viewdirs"), "bound": ("field", "bound"),
+    "field_type": ("field", "field_type"), "cp_rank": ("field", "cp_rank"),
+    "cp_bound": ("field", "cp_bound"),
+    "cp_resolutions": ("field", "cp_resolutions"),
     # render
     "N_samples": ("render", "N_samples"), "N_importance": ("render", "N_importance"),
     "perturb": ("render", "perturb"), "raw_noise_std": ("render", "raw_noise_std"),
@@ -202,6 +212,7 @@ _FLAG_MAP = {
     "lrate": ("train", "lrate"), "lrate_decay": ("train", "lrate_decay"),
     "sigma_loss_weight": ("train", "sigma_loss_weight"),
     "lpips": ("train", "lpips"), "patch_len": ("train", "patch_len"),
+    "gradient_clip": ("train", "gradient_clip"),
     "i_print": ("train", "i_print"), "i_weights": ("train", "i_weights"),
     "i_video": ("train", "i_video"), "i_evaluate": ("train", "i_evaluate"),
     "i_testset": ("train", "i_testset"), "basedir": ("train", "basedir"),
@@ -250,6 +261,8 @@ def load_reference_config(path: str, base: Optional[Config] = None) -> Config:
             val = _coerce(value, ftype)
             if fname == "guidance" and isinstance(val, str):
                 val = tuple(val.split(","))
+            elif fname == "cp_resolutions" and isinstance(val, str):
+                val = tuple(int(x) for x in val.split(","))
             sections[section][fname] = val
     return Config(**{
         s: dataclasses.replace(getattr(cfg, s), **kv) if kv else getattr(cfg, s)

@@ -105,6 +105,47 @@ def render_normal_map(depth, K, k: int = 31):
     return (n + 1.0) / 2.0
 
 
+def pointcloud_normals(points: "np.ndarray", knn: int = 30) -> "np.ndarray":
+    """kNN + SVD point-cloud normals (reference cal_normal_np,
+    run.py:2428-2441). Host-side numpy/scipy (cKDTree) — offline utility.
+
+    Args:
+      points: [N, 3] numpy point cloud.
+    Returns:
+      [N, 3] unit normals (smallest-variance directions).
+    """
+    import numpy as np
+    from scipy.spatial import cKDTree
+
+    tree = cKDTree(points)
+    _, idxs = tree.query(points, k=knn)
+    nb = points[idxs]                              # [N, k, 3]
+    centered = nb - nb.mean(axis=1, keepdims=True)
+    cov = np.einsum("nki,nkj->nij", centered, centered)
+    # eigh: ascending eigenvalues → first eigenvector = normal direction
+    _, vecs = np.linalg.eigh(cov)
+    n = vecs[:, :, 0]
+    return n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+
+
+def field_normals(sigma_fn, pts, eps: float = 0.0):
+    """Analytic density-gradient normals: n = −∇σ/‖∇σ‖.
+
+    TPU-native alternative to the reference's raw2outputs_with_normal
+    finite-difference variant (run_nerf_helpers.py:409): jax.grad of the
+    field's σ head, vmapped over points — exact, one extra backward pass.
+
+    Args:
+      sigma_fn: [3] point → scalar σ.
+      pts: [..., 3].
+    """
+    import jax
+
+    g = jax.vmap(jax.grad(sigma_fn))(pts.reshape(-1, 3))
+    n = -g / jnp.maximum(jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-8)
+    return n.reshape(pts.shape)
+
+
 def estimate_normals_grad(depth):
     """Cheap gradient normals (reference estimate_normals, run.py:2383)."""
     gx = jnp.gradient(depth, axis=1)

@@ -205,6 +205,35 @@ def write_points3d_binary(points: Dict[int, Point3D], path: str) -> None:
                 f.write(struct.pack("<ii", img, p2d))
 
 
+def read_dense_array(path: str) -> np.ndarray:
+    """COLMAP dense map (.bin depth/normal): text header
+    "width&height&channels&" then float32 data in column-major channel order
+    (parity: colmapUtils/read_write_dense.py:40-64)."""
+    with open(path, "rb") as f:
+        header = b""
+        amp = 0
+        while amp < 3:
+            c = f.read(1)
+            header += c
+            if c == b"&":
+                amp += 1
+        w, h, ch = (int(x) for x in header.decode().split("&")[:3])
+        data = np.fromfile(f, np.float32)
+    return data.reshape((w, h, ch), order="F").transpose(1, 0, 2).squeeze()
+
+
+def write_dense_array(arr: np.ndarray, path: str) -> None:
+    """Inverse of read_dense_array (read_write_dense.py:67-88)."""
+    if arr.ndim == 2:
+        arr = arr[..., None]
+    h, w, ch = arr.shape
+    with open(path, "wb") as f:
+        f.write(f"{w}&{h}&{ch}&".encode())
+        # inverse of read: [h,w,c] → [w,h,c] → column-major flat
+        f.write(arr.transpose(1, 0, 2).astype(np.float32)
+                .flatten(order="F").tobytes())
+
+
 def read_model(sparse_dir: str):
     """Read a COLMAP model dir (binary preferred, text fallback)."""
     if os.path.exists(os.path.join(sparse_dir, "cameras.bin")):

@@ -289,6 +289,33 @@ def load_llff_data(
     )
 
 
+def load_nerd_data(basedir: str, factor: int = 8, *, recenter: bool = True,
+                   bd_factor: float = 0.75, spherify: bool = False) -> LLFFScene:
+    """NeRD-layout loader (parity: /root/reference/DS_NeRF/load_nerd.py:244):
+    LLFF poses_bounds + images_{f}/ + masks_{f}/ (binarized), objects =
+    white-background masked copies. Returns an LLFFScene whose
+    inpainted_depths slot carries the object maps (the NeRD path has no
+    inpainted depths)."""
+    scene = load_llff_data(basedir, factor, recenter=recenter,
+                           bd_factor=bd_factor, spherify=spherify,
+                           origin=False, test_split_count=0)
+    mskdir = os.path.join(basedir, f"masks_{factor}" if factor != 1 else "masks")
+    if os.path.isdir(mskdir):
+        H, W = scene.images.shape[1:3]
+        masks = np.stack([_load_mask_like(f, (H, W), normalize_max=False)
+                          for f in _list_images(mskdir)])
+        masks = (masks > 0.5).astype(np.float32)
+        objects = scene.images.copy()
+        m3 = masks[..., None]
+        objects = objects * m3 + (1.0 - m3)
+        scene = LLFFScene(
+            images=scene.images, masks=masks, inpainted_depths=objects[..., 0],
+            poses=scene.poses, poses_test=scene.poses_test, bds=scene.bds,
+            render_poses=scene.render_poses, hwf=scene.hwf,
+            near=scene.near, far=scene.far)
+    return scene
+
+
 def load_colmap_depth(
     basedir: str,
     factor: int = 4,

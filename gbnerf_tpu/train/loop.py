@@ -25,14 +25,83 @@ from .step import (make_render_fn, make_train_step_stage1,
                    make_train_step_stage2)
 
 
+def load_scene(cfg: Config):
+    """Dataset dispatch (reference --dataset_type, run.py:847-916).
+
+    Divergence, documented: the reference's dataset_type=custom calls an
+    undefined load_custom_data (run.py:718, SURVEY.md §2.2) — here unknown
+    types raise a clear error."""
+    d = cfg.data
+    if d.dataset_type == "llff":
+        return load_llff_data(d.datadir, d.factor, spherify=d.spherify,
+                              origin=d.origin,
+                              test_split_count=d.test_split_count)
+    if d.dataset_type == "nerd":
+        from ..data.llff import load_nerd_data
+
+        return load_nerd_data(d.datadir, d.factor, spherify=d.spherify)
+    if d.dataset_type == "blender":
+        import numpy as np
+
+        from ..data.blender import load_blender_data
+        from ..data.llff import LLFFScene
+
+        imgs, poses, render_poses, hwf, i_split, masks, objects = \
+            load_blender_data(d.datadir, half_res=d.half_res,
+                              testskip=d.testskip)
+        # RGBA → RGB on the configured background
+        if imgs.shape[-1] == 4:
+            bg = 1.0 if cfg.render.white_bkgd else 0.0
+            imgs = imgs[..., :3] * imgs[..., 3:] + bg * (1.0 - imgs[..., 3:])
+        i_train, _, i_test = i_split
+        H, W = imgs.shape[1:3]
+        n_tr = len(i_train)
+        tr_masks = (masks[..., 0] if masks.ndim == 4 else masks) \
+            if len(masks) == n_tr else np.zeros((n_tr, H, W), np.float32)
+        hwf34 = np.broadcast_to(
+            np.array([[hwf[0]], [hwf[1]], [hwf[2]]], np.float32), (3, 1))
+        p35 = np.concatenate(
+            [poses[:, :3, :4], np.tile(hwf34[None], (len(poses), 1, 1))], 2)
+        return LLFFScene(
+            images=imgs[i_train].astype(np.float32),
+            masks=tr_masks.astype(np.float32),
+            inpainted_depths=np.zeros((n_tr, H, W), np.float32),
+            poses=p35[i_train], poses_test=p35[i_test],
+            bds=np.array([[2.0, 6.0]], np.float32),
+            render_poses=np.concatenate(
+                [render_poses[:, :3, :4],
+                 np.tile(hwf34[None], (len(render_poses), 1, 1))], 2),
+            hwf=(H, W, float(hwf[2])), near=2.0, far=6.0)
+    if d.dataset_type == "dtu":
+        import numpy as np
+
+        from ..data.blender import load_dtu_data
+        from ..data.llff import LLFFScene
+
+        imgs, poses, hwf = load_dtu_data(d.datadir)
+        H, W, focal = hwf
+        n = len(imgs)
+        hwf34 = np.array([[H], [W], [focal]], np.float32)
+        p35 = np.concatenate(
+            [poses, np.tile(hwf34[None], (n, 1, 1))], 2).astype(np.float32)
+        return LLFFScene(
+            images=imgs.astype(np.float32),
+            masks=np.zeros((n, H, W), np.float32),
+            inpainted_depths=np.zeros((n, H, W), np.float32),
+            poses=p35, poses_test=p35[:1],
+            bds=np.array([[0.5, 3.5]], np.float32),
+            render_poses=p35[:8], hwf=(H, W, float(focal)),
+            near=0.5, far=3.5)
+    raise SystemExit(f"unknown dataset_type: {d.dataset_type!r} "
+                     "(llff | nerd | blender | dtu)")
+
+
 def render_only(cfg: Config) -> dict:
     """Reference --render_only short-circuit (run.py:976-1023): reload the
     latest checkpoint and render the test + spiral paths to disk."""
     t = cfg.train
     expdir = os.path.join(t.basedir, t.expname)
-    scene = load_llff_data(
-        cfg.data.datadir, cfg.data.factor, spherify=cfg.data.spherify,
-        origin=cfg.data.origin, test_split_count=cfg.data.test_split_count)
+    scene = load_scene(cfg)
 
     rng = jax.random.PRNGKey(t.seed)
     state, coarse, fine = create_train_state(cfg, rng)
@@ -92,11 +161,9 @@ def train(cfg: Config, *, guidance_fn=None,
     save_config(cfg, os.path.join(expdir, "config.txt"))
 
     if scene is None:
-        scene = load_llff_data(
-            cfg.data.datadir, cfg.data.factor, spherify=cfg.data.spherify,
-            origin=cfg.data.origin,
-            test_split_count=cfg.data.test_split_count)
-        if cfg.data.colmap_depth and depth_gts is None:
+        scene = load_scene(cfg)
+        if (cfg.data.colmap_depth and depth_gts is None
+                and cfg.data.dataset_type == "llff"):
             depth_gts = load_colmap_depth(
                 cfg.data.datadir, cfg.data.factor,
                 skip_first=cfg.data.test_split_count)
@@ -142,6 +209,13 @@ def train(cfg: Config, *, guidance_fn=None,
               f"({'tiny' if g.sd_tiny else 'SD1.5-inpaint'}, "
               f"weights={'loaded' if g.sd_weights_dir else 'random'})")
 
+    lpips_fn = None
+    if t.lpips:
+        from ..utils.lpips import LPIPS
+
+        rng, k_lp = jax.random.split(rng)
+        lpips_fn = LPIPS(k_lp)
+
     render_fn = make_render_fn(cfg, coarse, fine, scene.near, scene.far)
     if t.first_stage:
         step_fn = make_train_step_stage1(cfg, coarse, fine, scene.near, scene.far)
@@ -150,15 +224,26 @@ def train(cfg: Config, *, guidance_fn=None,
     else:
         step_fn = make_train_step_stage2(
             cfg, coarse, fine, scene.near, scene.far, scene.hwf,
-            guidance_fn=guidance_fn)
+            guidance_fn=guidance_fn, lpips_fn=lpips_fn)
         def do_step(state, key):
             return step_fn(state, scene_dev, banks_dev, key)
+
+    # Optional EMA of params (capability parity with the reference's dead
+    # stable-dreamfusion trainer, SURVEY.md §2.2 pgc.py).
+    ema_params = None
+    ema_update = None
+    if t.ema_decay > 0.0:
+        ema_params = state.params
+        ema_update = jax.jit(lambda e, p: jax.tree_util.tree_map(
+            lambda a, b: t.ema_decay * a + (1.0 - t.ema_decay) * b, e, p))
 
     t0 = time.time()
     history = []
     for i in range(start, t.N_iters):
         rng, key = jax.random.split(rng)
         state, metrics = do_step(state, key)
+        if ema_update is not None:
+            ema_params = ema_update(ema_params, state.params)
 
         if (i + 1) % t.i_print == 0:
             m = {k: float(v) for k, v in metrics.items()}
@@ -189,4 +274,4 @@ def train(cfg: Config, *, guidance_fn=None,
     ckpt.save(int(state.step), jax.device_get(state))
     ckpt.close()
     return {"state": state, "render_fn": render_fn, "scene": scene,
-            "history": history}
+            "history": history, "ema_params": ema_params}

@@ -22,6 +22,28 @@ import jax
 import jax.numpy as jnp
 
 
+@jax.custom_vjp
+def pwclip(x, clip_value=1.0):
+    """Identity forward; backward clips the incoming gradient per-pixel
+    (reference _hook suppress_type=0, run.py:56-78): each pixel's gradient is
+    scaled by min_channels(min(1, clip/|g|)) — the row-min of the allowed
+    ratio — so no channel exceeds ±clip while directions are preserved."""
+    return x
+
+
+def _pwclip_fwd(x, clip_value):
+    return x, clip_value
+
+
+def _pwclip_bwd(clip_value, g):
+    ratio = jnp.minimum(clip_value / jnp.maximum(jnp.abs(g), 1e-12), 1.0)
+    scale = jnp.min(ratio, axis=-1, keepdims=True)
+    return (g * scale, None)
+
+
+pwclip.defvjp(_pwclip_fwd, _pwclip_bwd)
+
+
 def sigma_loss(field_fn, rays_o, rays_d, viewdirs, near, depths, *,
                N_samples: int, perturb: bool = True, raw_noise_std: float = 0.0,
                rng=None):

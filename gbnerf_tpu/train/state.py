@@ -47,7 +47,7 @@ def build_field(cfg: Config, fine: bool = False) -> nn.Module:
         )
     from ..core.cp_field import CPGridField
 
-    return CPGridField(bound=f.bound, resolutions=tuple(f.cp_resolutions),
+    return CPGridField(bound=f.cp_bound, resolutions=tuple(f.cp_resolutions),
                        rank=f.cp_rank)
 
 

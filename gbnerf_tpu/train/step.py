@@ -213,10 +213,13 @@ def make_train_step_stage1(cfg: Config, coarse_model, fine_model,
 
 def make_train_step_stage2(cfg: Config, coarse_model, fine_model,
                            near: float, far: float,
-                           hwf, *, guidance_fn: Optional[GuidanceFn] = None):
+                           hwf, *, guidance_fn: Optional[GuidanceFn] = None,
+                           lpips_fn=None):
     """Masked-inpainting training step (reference second_stage path).
 
     hwf: (H, W, focal) of the training views (static).
+    lpips_fn: optional perceptual distance ([B,h,w,3]×2 → [B]) enabling the
+    masked patch loss (reference --lpips, run.py:416,435-440).
     """
     render = make_render_fn(cfg, coarse_model, fine_model, near, far)
     tx = make_optimizer(cfg)
@@ -252,25 +255,46 @@ def make_train_step_stage2(cfg: Config, coarse_model, fine_model,
                 batch.depth["target"][:, 1])
 
         sds_loss = jnp.zeros(())
-        if guidance_fn is not None:
+        if guidance_fn is not None or (lpips_fn is not None and t.lpips):
             # Render the masked region and composite into the GT view
             # (renders #1-#2 + combin_rgb, run.py:1371-1398).
             ro, rd = _masked_rays(H, W, focal, batch.pose, batch.coords)
             out_m = render(params, ro, rd, k_m, train=True)
-            rgb_m = jnp.where(batch.valid[:, None], out_m.rgb, 0.0)
+            rgb_raw = out_m.rgb
+            if t.gradient_clip:
+                from .losses import pwclip
+
+                rgb_raw = pwclip(rgb_raw)
+            rgb_m = jnp.where(batch.valid[:, None], rgb_raw, 0.0)
             combin = batch.image
             combin = combin.at[batch.coords[:, 1], batch.coords[:, 0]].set(
                 jnp.where(batch.valid[:, None], rgb_m,
                           combin[batch.coords[:, 1], batch.coords[:, 0]]))
 
             normal_map = None
-            if g.is_normal_guidance:
+            if g.is_normal_guidance and guidance_fn is not None:
                 ro_n, rd_n = _full_view_rays(H_r, W_r, focal_r, batch.pose)
                 out_n = render(params, ro_n.reshape(-1, 3), rd_n.reshape(-1, 3),
                                k_n, train=True)
                 depth_n = out_n.depth.reshape(H_r, W_r)
                 pts = depth2xyz(depth_n, K_r)
                 normal_map = (depth2normal_geo(pts) + 1.0) / 2.0
+                if t.gradient_clip:
+                    from .losses import pwclip
+
+                    normal_map = pwclip(normal_map)
+
+            if lpips_fn is not None and t.lpips:
+                # Masked-region perceptual patches: rendered composite vs the
+                # inpainted GT view.
+                from .losses import extract_patches
+
+                k_p = jax.random.fold_in(k_g, 7)
+                pr = extract_patches(combin, batch.mask, t.patch_len,
+                                     t.n_patches, k_p)
+                pg = extract_patches(batch.image, batch.mask, t.patch_len,
+                                     t.n_patches, k_p)
+                loss = loss + t.lpips_weight * jnp.mean(lpips_fn(pr, pg))
 
             rgbs4 = masks4 = None
             if g.is_colla_guidance and batch.colla_poses is not None:
@@ -287,13 +311,15 @@ def make_train_step_stage2(cfg: Config, coarse_model, fine_model,
                     batch.colla_masks, (batch.colla_masks.shape[0], H_r, W_r),
                     method="nearest")
 
-            if rgbs4 is not None:
-                sds_loss = guidance_fn(step_i, combin, normal_map, batch.mask,
-                                       k_g, rgbs4=rgbs4, masks4=masks4)
-            else:
-                sds_loss = guidance_fn(step_i, combin, normal_map, batch.mask,
-                                       k_g)
-            loss = loss + g.sds_loss_weight * sds_loss
+            if guidance_fn is not None:
+                if rgbs4 is not None:
+                    sds_loss = guidance_fn(step_i, combin, normal_map,
+                                           batch.mask, k_g,
+                                           rgbs4=rgbs4, masks4=masks4)
+                else:
+                    sds_loss = guidance_fn(step_i, combin, normal_map,
+                                           batch.mask, k_g)
+                loss = loss + g.sds_loss_weight * sds_loss
 
         return loss, {"img_loss": img_loss, "depth_loss": depth_loss,
                       "sds_loss": sds_loss, "psnr": mse2psnr(img_loss)}
