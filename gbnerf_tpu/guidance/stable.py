@@ -130,7 +130,8 @@ def _resize(img, size: int, method: str = "bilinear"):
 
 def sd_train_step(mods: SDModules, gcfg: GuidanceConfig, step_i, rgb, mask,
                   rng, *, embeds, guidance_scale: float,
-                  mode: Optional[str] = None):
+                  mode: Optional[str] = None,
+                  unet_params=None, vae_params=None):
     """One score-distillation step on an image modality → scalar loss.
 
     Mirrors train_step_sd (sd_utils.py:338-523): resize to 512², VAE-encode
@@ -146,6 +147,8 @@ def sd_train_step(mods: SDModules, gcfg: GuidanceConfig, step_i, rgb, mask,
     S, LR = mods.latent_size, mods.latent_res
     sched = mods.schedule
     mode = mode or ("csd" if gcfg.use_csd else "sds")
+    unet_params = mods.unet_params if unet_params is None else unet_params
+    vae_params = mods.vae_params if vae_params is None else vae_params
     k_noise, k_enc1, k_enc2 = jax.random.split(rng, 3)
 
     rgb512 = _resize(rgb[None], S) * 2.0 - 1.0               # [1,S,S,3]
@@ -153,7 +156,7 @@ def sd_train_step(mods: SDModules, gcfg: GuidanceConfig, step_i, rgb, mask,
     masked_image = rgb512 * (mask512 < 0.5)
 
     vae_apply = lambda img, k: mods.vae.apply(
-        {"params": mods.vae_params}, img, k, method=AutoencoderKL.encode)
+        {"params": vae_params}, img, k, method=AutoencoderKL.encode)
     # Differentiable path: render → init latents.
     init_latents = vae_apply(rgb512, k_enc1)                  # [1,LR,LR,4]
     masked_latents = jax.lax.stop_gradient(vae_apply(masked_image, k_enc2))
@@ -171,7 +174,7 @@ def sd_train_step(mods: SDModules, gcfg: GuidanceConfig, step_i, rgb, mask,
          jnp.concatenate([masked_latents] * k, axis=0)], axis=-1)
     emb = embeds if k == 3 else embeds[1:]                    # (u, t) for 2-way
 
-    eps = mods.unet.apply({"params": mods.unet_params},
+    eps = mods.unet.apply({"params": unet_params},
                           jax.lax.stop_gradient(unet_in), t, emb)
     eps = jax.lax.stop_gradient(eps)
 
@@ -187,7 +190,8 @@ def sd_train_step(mods: SDModules, gcfg: GuidanceConfig, step_i, rgb, mask,
 
 
 def sd_train_step_colla(mods: SDModules, gcfg: GuidanceConfig, step_i,
-                        rgbs, masks, rng):
+                        rgbs, masks, rng, *, unet_params=None,
+                        vae_params=None, embeds=None):
     """Collaborative SDS over K neighbor views (train_step_colla_sds,
     sd_utils.py:525-724): per-view 3-way combine
     w1·ε_text + (w2−w1)·ε_null − w2·ε_uncond, losses summed.
@@ -199,6 +203,9 @@ def sd_train_step_colla(mods: SDModules, gcfg: GuidanceConfig, step_i,
     S, LR = mods.latent_size, mods.latent_res
     sched = mods.schedule
     K = rgbs.shape[0]
+    unet_params = mods.unet_params if unet_params is None else unet_params
+    vae_params = mods.vae_params if vae_params is None else vae_params
+    embeds = mods.embeds_rgb if embeds is None else embeds
     k_noise, k_enc1, k_enc2 = jax.random.split(rng, 3)
 
     rgb512 = _resize(rgbs, S) * 2.0 - 1.0                    # [K,S,S,3]
@@ -206,7 +213,7 @@ def sd_train_step_colla(mods: SDModules, gcfg: GuidanceConfig, step_i,
     masked_image = rgb512 * (mask512 < 0.5)
 
     vae_apply = lambda img, k: mods.vae.apply(
-        {"params": mods.vae_params}, img, k, method=AutoencoderKL.encode)
+        {"params": vae_params}, img, k, method=AutoencoderKL.encode)
     init_latents = vae_apply(rgb512, k_enc1)                 # [K,LR,LR,4]
     masked_latents = jax.lax.stop_gradient(vae_apply(masked_image, k_enc2))
     mask_latent = _resize(mask512, LR, method="nearest")
@@ -221,9 +228,9 @@ def sd_train_step_colla(mods: SDModules, gcfg: GuidanceConfig, step_i,
         [lat_in,
          jnp.concatenate([mask_latent] * 3, axis=0),
          jnp.concatenate([masked_latents] * 3, axis=0)], axis=-1)
-    emb = jnp.repeat(mods.embeds_rgb, K, axis=0)             # [3K,L,D]
+    emb = jnp.repeat(embeds, K, axis=0)                      # [3K,L,D]
 
-    eps = mods.unet.apply({"params": mods.unet_params},
+    eps = mods.unet.apply({"params": unet_params},
                           jax.lax.stop_gradient(unet_in), t, emb)
     eps = jax.lax.stop_gradient(eps).reshape(3, K, LR, LR, 4)
     pred = cfg_combine_colla(eps[0], eps[1], eps[2], gcfg.w1, gcfg.w2)
@@ -233,30 +240,51 @@ def sd_train_step_colla(mods: SDModules, gcfg: GuidanceConfig, step_i,
     return inject_gradient(latents_t, grad, mask_latent)
 
 
+def guidance_params(mods: SDModules):
+    """The SD state to thread through the train step as an ARGUMENT.
+
+    Closing over these in the jitted step would bake ~3.6 GB of UNet/VAE
+    weights into the executable as constants (observed); as arguments they
+    stay ordinary device buffers.
+    """
+    return {"unet": mods.unet_params, "vae": mods.vae_params,
+            "embeds_rgb": mods.embeds_rgb,
+            "embeds_normal": mods.embeds_normal}
+
+
 def make_guidance_fn(mods: SDModules, gcfg: GuidanceConfig):
     """Build the train-step guidance hook (step.py GuidanceFn contract).
 
     Dispatch parity with Pretrain_Model.cal_loss (nerf/utils.py:222-319):
     RGB SDS on the composite, normal-map SDS after normal_start_iter, each
     with its own CFG scale; modality losses sum into one scalar.
+
+    The returned fn accepts `gparams` (see guidance_params); when None it
+    falls back to the module-held params (small/test configs only).
     """
 
     def guidance_fn(step_i, combin_rgb, normal_map, mask, rng,
-                    rgbs4=None, masks4=None):
+                    rgbs4=None, masks4=None, gparams=None):
+        gp = gparams or {}
+        up, vp = gp.get("unet"), gp.get("vae")
+        e_rgb = gp.get("embeds_rgb", mods.embeds_rgb)
+        e_nrm = gp.get("embeds_normal", mods.embeds_normal)
         k_rgb, k_n, k_c = jax.random.split(rng, 3)
         loss = jnp.zeros(())
         if gcfg.is_rgb_guidance:
             loss = loss + sd_train_step(
                 mods, gcfg, step_i, combin_rgb, mask, k_rgb,
-                embeds=mods.embeds_rgb, guidance_scale=gcfg.guidance_scale)
+                embeds=e_rgb, guidance_scale=gcfg.guidance_scale,
+                unet_params=up, vae_params=vp)
         if gcfg.is_colla_guidance and rgbs4 is not None:
             loss = loss + sd_train_step_colla(
-                mods, gcfg, step_i, rgbs4, masks4, k_c)
+                mods, gcfg, step_i, rgbs4, masks4, k_c,
+                unet_params=up, vae_params=vp, embeds=e_rgb)
         if gcfg.is_normal_guidance and normal_map is not None:
             nloss = sd_train_step(
                 mods, gcfg, step_i, normal_map, mask, k_n,
-                embeds=mods.embeds_normal,
-                guidance_scale=gcfg.normal_guidance_scale)
+                embeds=e_nrm, guidance_scale=gcfg.normal_guidance_scale,
+                unet_params=up, vae_params=vp)
             loss = loss + jnp.where(step_i > gcfg.normal_start_iter, nloss, 0.0)
         return loss
 

@@ -186,6 +186,7 @@ def train(cfg: Config, *, guidance_fn=None,
     # Build the diffusion-prior guidance when stage 2 asks for it
     # (reference run.py:1204-1221). guidance_fn may also be injected.
     g = cfg.guidance
+    gparams = None
     if (guidance_fn is None and not t.first_stage
             and "SD" in g.guidance
             and (g.is_rgb_guidance or g.is_normal_guidance)
@@ -205,6 +206,9 @@ def train(cfg: Config, *, guidance_fn=None,
                       latent_size=64, dtype=jnp.float32)
         mods = build_sd_modules(g, k_sd, weights_dir=g.sd_weights_dir, **kw)
         guidance_fn = make_guidance_fn(mods, g)
+        from ..guidance.stable import guidance_params
+
+        gparams = guidance_params(mods)
         print(f"[guidance] SD stack ready "
               f"({'tiny' if g.sd_tiny else 'SD1.5-inpaint'}, "
               f"weights={'loaded' if g.sd_weights_dir else 'random'})")
@@ -226,7 +230,7 @@ def train(cfg: Config, *, guidance_fn=None,
             cfg, coarse, fine, scene.near, scene.far, scene.hwf,
             guidance_fn=guidance_fn, lpips_fn=lpips_fn)
         def do_step(state, key):
-            return step_fn(state, scene_dev, banks_dev, key)
+            return step_fn(state, scene_dev, banks_dev, key, gparams)
 
     # Optional EMA of params (capability parity with the reference's dead
     # stable-dreamfusion trainer, SURVEY.md §2.2 pgc.py).

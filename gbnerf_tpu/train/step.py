@@ -231,7 +231,12 @@ def make_train_step_stage2(cfg: Config, coarse_model, fine_model,
     K_r = jnp.asarray([[focal_r, 0, W_r / 2], [0, focal_r, H_r / 2], [0, 0, 1]],
                       jnp.float32)
 
-    def loss_fn(params, batch: Stage2Batch, step_i, rng):
+    import inspect
+
+    accepts_gparams = (guidance_fn is not None and
+                       "gparams" in inspect.signature(guidance_fn).parameters)
+
+    def loss_fn(params, batch: Stage2Batch, step_i, rng, gparams=None):
         k_m, k_c, k_i, k_d, k_n, k_g = jax.random.split(rng, 6)
 
         # Unmasked RGB supervision (render #3 in the reference loop).
@@ -312,26 +317,26 @@ def make_train_step_stage2(cfg: Config, coarse_model, fine_model,
                     method="nearest")
 
             if guidance_fn is not None:
+                kw = {}
                 if rgbs4 is not None:
-                    sds_loss = guidance_fn(step_i, combin, normal_map,
-                                           batch.mask, k_g,
-                                           rgbs4=rgbs4, masks4=masks4)
-                else:
-                    sds_loss = guidance_fn(step_i, combin, normal_map,
-                                           batch.mask, k_g)
+                    kw.update(rgbs4=rgbs4, masks4=masks4)
+                if accepts_gparams:
+                    kw["gparams"] = gparams
+                sds_loss = guidance_fn(step_i, combin, normal_map,
+                                       batch.mask, k_g, **kw)
                 loss = loss + g.sds_loss_weight * sds_loss
 
         return loss, {"img_loss": img_loss, "depth_loss": depth_loss,
                       "sds_loss": sds_loss, "psnr": mse2psnr(img_loss)}
 
     @jax.jit
-    def step(state: TrainState, scene_dev, banks_dev, rng):
+    def step(state: TrainState, scene_dev, banks_dev, rng, gparams=None):
         k_sel, k_loss = jax.random.split(rng)
         batch = select_stage2_view(
             scene_dev, banks_dev, k_sel, t.N_rand,
             n_colla=4 if (g.is_colla_guidance and guidance_fn) else 0)
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, state.step, k_loss)
+            state.params, batch, state.step, k_loss, gparams)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = jax.tree_util.tree_map(
             lambda p, u: p + u, state.params, updates)
