@@ -38,6 +38,43 @@ def render_pose_path(render_fn, params, poses, hwf, *, render_factor: int = 0,
             "depth": np.stack(depths)}
 
 
+def convert_pose(c2w: np.ndarray) -> np.ndarray:
+    """OpenGL → OpenCV camera flip (reference convert_pose, run.py:1964)."""
+    flip_yz = np.eye(4)
+    flip_yz[1, 1] = flip_yz[2, 2] = -1.0
+    return c2w @ flip_yz
+
+
+def render_path_projection(render_fn, params, poses, hwf, *,
+                           render_factor: int = 0, block: int = 8192):
+    """Per-pose z_vals/weights + converted poses + intrinsics — the
+    reprojection/warping inputs (reference render_path_projection,
+    run.py:1933-1961)."""
+    import jax.numpy as jnp
+
+    H, W, focal = int(hwf[0]), int(hwf[1]), float(hwf[2])
+    if render_factor and render_factor > 1:
+        H, W, focal = H // render_factor, W // render_factor, focal / render_factor
+    K = np.array([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]])
+
+    @__import__("jax").jit
+    def one(params, pose):
+        ro, rd = _full_view_rays(H, W, focal, pose)
+        out = render_fn(params, ro.reshape(-1, 3), rd.reshape(-1, 3), None,
+                        train=False)
+        return out.z_vals, out.weights
+
+    z_vals, weights, c2ws = [], [], []
+    for pose in poses:
+        z, w = one(params, jnp.asarray(pose[:3, :4]))
+        z_vals.append(np.asarray(z))
+        weights.append(np.asarray(w))
+        p44 = np.concatenate([np.asarray(pose[:3, :4]),
+                              np.array([[0, 0, 0, 1.0]])], axis=0)
+        c2ws.append(convert_pose(p44))
+    return z_vals, weights, c2ws, K
+
+
 def render_test_ray(render_fn, params, ray_o, ray_d, *, near: float,
                     far: float, n_samples: int = 256):
     """σ/weight profile along a single ray (reference render_test_ray +

@@ -1,0 +1,83 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import Mesh
+
+from gbnerf_tpu.config import Config, FieldConfig, RenderConfig, TrainConfig
+from gbnerf_tpu.parallel.mesh import make_mesh, shard_batch, replicate
+from gbnerf_tpu.parallel.sharded import (make_sharded_renderer,
+                                         make_sharded_train_step)
+from gbnerf_tpu.train.state import create_train_state
+from gbnerf_tpu.train.step import make_render_fn
+
+
+# function-scoped: the sharded step DONATES the state buffers (memory
+# hygiene in production); a shared fixture would hand later tests deleted
+# arrays.
+@pytest.fixture
+def setup():
+    cfg = Config(
+        field=FieldConfig(no_tcnn=True, netdepth=2, netwidth=32,
+                          netdepth_fine=2, netwidth_fine=32, multires=4,
+                          multires_views=2),
+        render=RenderConfig(N_samples=8, N_importance=4, perturb=0.0,
+                            raw_noise_std=0.0),
+        train=TrainConfig(N_rand=64),
+    )
+    state, coarse, fine = create_train_state(cfg, jax.random.PRNGKey(0))
+    mesh = make_mesh()
+    return cfg, state, coarse, fine, mesh
+
+
+def _batch(key, n):
+    o = jax.random.normal(key, (n, 3)) * 0.1
+    d = jax.random.normal(jax.random.fold_in(key, 1), (n, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    t3 = jax.random.uniform(jax.random.fold_in(key, 2), (n, 3))
+    return {"o": o, "d": d, "target": t3}
+
+
+def test_mesh_has_8_devices(setup):
+    _, _, _, _, mesh = setup
+    assert mesh.devices.size == 8
+
+
+def test_sharded_step_matches_unsharded(setup):
+    cfg, state, coarse, fine, mesh = setup
+    _step, jit_step, (repl, shard) = make_sharded_train_step(
+        cfg, coarse, fine, 1.2, 5.3, mesh)
+    key = jax.random.PRNGKey(3)
+    batch = {"clf": _batch(key, 64), "inp": None, "depth": None}
+    batch["clf"]["target"] = batch["clf"]["target"]
+
+    # unsharded reference
+    s0, m0 = _step(state, batch, jax.random.PRNGKey(9))
+
+    # sharded
+    state_sh = jax.device_put(state, jax.tree_util.tree_map(
+        lambda _: repl, state))
+    batch_sh = jax.device_put(batch, jax.tree_util.tree_map(
+        lambda _: shard, batch))
+    step = jit_step(state_sh, batch_sh)
+    s1, m1 = step(state_sh, batch_sh, jax.random.PRNGKey(9))
+
+    np.testing.assert_allclose(float(m0["loss"]), float(m1["loss"]),
+                               rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(s0.params),
+                    jax.tree_util.tree_leaves(s1.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_sharded_renderer_matches_unsharded(setup):
+    cfg, state, coarse, fine, mesh = setup
+    render = make_render_fn(cfg, coarse, fine, 1.2, 5.3)
+    sharded = make_sharded_renderer(cfg, coarse, fine, 1.2, 5.3, mesh)
+    key = jax.random.PRNGKey(5)
+    b = _batch(key, 128)
+    out_ref = render(state.params, b["o"], b["d"], None, train=False)
+    out_sh = sharded(state.params, b["o"], b["d"])
+    np.testing.assert_allclose(np.asarray(out_ref.rgb),
+                               np.asarray(out_sh["rgb"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_ref.depth),
+                               np.asarray(out_sh["depth"]), atol=1e-4)
