@@ -17,7 +17,7 @@ provides the Pallas fast path with identical semantics.
 """
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence
+from typing import Callable, Sequence
 
 import numpy as np
 import flax.linen as nn

@@ -9,8 +9,6 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Tuple
-
 import numpy as np
 
 

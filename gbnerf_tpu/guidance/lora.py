@@ -14,7 +14,7 @@ This keeps every model definition untouched and works under pjit unchanged.
 from __future__ import annotations
 
 import re
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 import jax

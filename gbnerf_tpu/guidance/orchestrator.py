@@ -12,7 +12,7 @@ prompts, so this module provides the capability surface with the same knobs.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Tuple
 
 import numpy as np

@@ -12,13 +12,10 @@ the CFG copies batch on the leading axis.
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..config import GuidanceConfig
 from .sds import cfg_combine_bsd, cfg_combine_sds
 from .stable import SDModules, _resize
 from .vae import AutoencoderKL

@@ -22,9 +22,8 @@ and runs stop-gradiented; only the VAE encoder participates in the backward.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Optional
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 

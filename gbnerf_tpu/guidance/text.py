@@ -14,7 +14,7 @@ pipeline:613-830 concat order at :608). Here:
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 import flax.linen as nn

@@ -22,15 +22,13 @@ selection uses static-K_max padded coordinate tables so shapes stay fixed.
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Callable, Dict, NamedTuple, Optional
+from typing import Callable, Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 
 from ..config import Config
 from ..core.normals import depth2xyz, depth2normal_geo
-from ..core.rays import ndc_rays
 from ..core.render import RenderOutputs, render_rays, render_rays_blocked
 from ..core.fields import make_field_fn
 from ..data.rays_bank import sample_batch
