@@ -6,16 +6,19 @@ Baseline = the repo target of 2M rays/sec/chip rendering (BASELINE.md) at the
 reference workload shape: coarse/fine field, 64 coarse + 64 importance
 samples per ray (aconfig_1.txt:33-34).
 
-Timing method: the repetition loop lives INSIDE one jit (lax.fori_loop) and
-the program returns a single scalar. This is deliberate: on the axon-tunneled
-TPU, ``block_until_ready`` does not await execution and host transfers run
-~30 MB/s, so any host-side per-call timing measures the tunnel, not the chip.
+Timing method: the repetition loop lives INSIDE one jit (lax.fori_loop),
+each iteration renders a LOOP-VARIANT input (i-dependent ray offset), and the
+program returns one scalar. All three choices are load-bearing on the
+axon-tunneled TPU: ``block_until_ready`` does not await execution, host
+transfers run ~30 MB/s (so per-call host timing measures the tunnel), and a
+loop-invariant body gets hoisted out of the fori_loop by XLA (LICM), silently
+measuring ONE render instead of N.
 
 Flagship = the TPU-native CP-factorized grid field (interpolation as
 two-hot/triangle matmuls on the MXU — core/cp_field.py, ops/cp_pallas.py)
-with gather-free inverse-CDF resampling (ops/resample.py). Measured history
-on v5e at this workload: hash-grid (tcnn parity) 0.015 → MLP bf16 0.54 →
-CP + fast resample 0.82 → unified CP 1.72 M rays/s.
+with gather-free inverse-CDF resampling (ops/resample.py). Honest (LICM-safe)
+history on v5e at this workload: hash-grid (tcnn parity) ≈0.01 → MLP bf16
+0.28 → unified CP grid 1.29 M rays/s.
 """
 from __future__ import annotations
 
@@ -42,7 +45,7 @@ def main():
     state, coarse, fine = create_train_state(cfg, jax.random.PRNGKey(0))
     render = make_render_fn(cfg, coarse, fine, near=1.2, far=5.3)
 
-    n, reps = 16384, 4
+    n, reps = 16384, 32
     k = jax.random.PRNGKey(1)
     rays_o = jax.random.normal(k, (n, 3)) * 0.1
     rays_d = jax.random.normal(jax.random.fold_in(k, 1), (n, 3))
@@ -50,8 +53,9 @@ def main():
 
     @jax.jit
     def timed(params, ro, rd):
-        def body(_, acc):
-            out = render(params, ro, rd, None, train=False)
+        def body(i, acc):
+            # i-dependent input defeats loop-invariant code motion
+            out = render(params, ro + i * 1e-6, rd, None, train=False)
             return acc + jnp.sum(out.rgb) * 1e-9
         return jax.lax.fori_loop(0, reps, body, 0.0)
 
