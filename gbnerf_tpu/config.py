@@ -123,6 +123,9 @@ class TrainConfig:
     n_patches: int = 4
     gradient_clip: bool = False    # pwclip on rendered tensors (run.py:56-78)
     ema_decay: float = 0.0         # >0 → track an EMA of params
+    # TV+L1 regularization of CP-grid factor lines (TensoRF-style);
+    # fights sparse-view floaters. 0 disables.
+    tv_loss_weight: float = 1e-3
     # cadence
     i_print: int = 100
     i_weights: int = 2000

@@ -20,6 +20,29 @@ import jax
 import jax.numpy as jnp
 
 
+def cp_tv_loss(params) -> jnp.ndarray:
+    """Total-variation + L1 regularizer on CP-grid factor lines.
+
+    Standard TensoRF-style grid regularization (their L_TV / L1 on the
+    vector/matrix factors): discourages high-frequency noise and floaters
+    that sparse-view training otherwise bakes into the lines. Applies to any
+    param leaf named lines_* ([3, R, rank]); zero for non-CP fields.
+    """
+    tv = jnp.zeros(())
+    l1 = jnp.zeros(())
+    def walk(tree):
+        nonlocal tv, l1
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                walk(v)
+            elif k.startswith("lines_"):
+                d = v[:, 1:, :] - v[:, :-1, :]
+                tv = tv + jnp.mean(d * d)
+                l1 = l1 + jnp.mean(jnp.abs(v))
+    walk(params)
+    return tv + 0.01 * l1
+
+
 @jax.custom_vjp
 def pwclip(x, clip_value=1.0):
     """Identity forward; backward clips the incoming gradient per-pixel

@@ -185,6 +185,11 @@ def make_train_step_stage1(cfg: Config, coarse_model, fine_model,
                                     dep["target"][:, 1])
             loss = loss + d.sdepth_lambda * col_loss
 
+        if t.tv_loss_weight > 0:
+            from .losses import cp_tv_loss
+
+            loss = loss + t.tv_loss_weight * cp_tv_loss(params)
+
         return loss, {"img_loss": img_loss, "depth_loss": depth_loss,
                       "psnr": mse2psnr(img_loss)}
 
@@ -323,6 +328,11 @@ def make_train_step_stage2(cfg: Config, coarse_model, fine_model,
                 sds_loss = guidance_fn(step_i, combin, normal_map,
                                        batch.mask, k_g, **kw)
                 loss = loss + g.sds_loss_weight * sds_loss
+
+        if t.tv_loss_weight > 0:
+            from .losses import cp_tv_loss
+
+            loss = loss + t.tv_loss_weight * cp_tv_loss(params)
 
         return loss, {"img_loss": img_loss, "depth_loss": depth_loss,
                       "sds_loss": sds_loss, "psnr": mse2psnr(img_loss)}

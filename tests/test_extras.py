@@ -103,3 +103,14 @@ def test_html_gallery_and_keypoints(tmp_path, rng):
 
     over = draw_keypoints(img, [(3, 4), (10, 12)])
     assert tuple(over[4, 3]) == (255, 0, 0)
+
+
+def test_cp_tv_loss(key):
+    from gbnerf_tpu.train.losses import cp_tv_loss
+    import jax
+
+    smooth = {"coarse": {"lines_0": jnp.ones((3, 8, 4))}}
+    noisy = {"coarse": {"lines_0": jax.random.normal(key, (3, 8, 4))}}
+    assert float(cp_tv_loss(noisy)) > float(cp_tv_loss(smooth))
+    # no lines → zero
+    assert float(cp_tv_loss({"mlp": {"kernel": jnp.ones((4, 4))}})) == 0.0

@@ -61,11 +61,20 @@ def main():
     H, W = args.H, args.W
     focal = 1.2 * W
     n_total = args.n_test + args.n_train
+    # Interleave test views INSIDE the camera arc (pose file order is still
+    # test-first to match the SPIn-NeRF layout) — edge-of-arc test views
+    # would measure extrapolation, not novel-view interpolation.
+    test_slots = [int((i + 1) * n_total / (args.n_test + 1))
+                  for i in range(args.n_test)]
+    train_slots = [s for s in range(n_total) if s not in test_slots]
+    slot_order = test_slots + train_slots
     rows = []
     imgs, depths = [], []
     for k in range(n_total):
-        th = (k / n_total - 0.5) * 0.9
-        pos = np.array([2.5 * np.sin(th), 0.3 * np.sin(2 * th), 2.5 * np.cos(th)])
+        slot = slot_order[k]
+        th = (slot / n_total - 0.5) * 0.9
+        pos = np.array([2.5 * np.sin(th), 0.3 * np.sin(2 * th),
+                        2.5 * np.cos(th)])
         c2w = look_at(pos)
         img, depth = render_sphere(H, W, focal, c2w)
         imgs.append(img); depths.append(depth)
