@@ -56,8 +56,16 @@ class LPIPS:
             self.params = jax.jit(self.net.init)(
                 rng, jnp.zeros((1, 64, 64, 3)))["params"]
 
+    MIN_SIZE = 32  # below this, the 4 max-pools collapse stages to 0×0
+                   # (empty-mean → NaN); tiny patches are upsampled first
+
     def __call__(self, a, b):
         """Perceptual distance between [B, H, W, 3] images in [0, 1]."""
+        if a.shape[1] < self.MIN_SIZE or a.shape[2] < self.MIN_SIZE:
+            shape = (a.shape[0], max(a.shape[1], self.MIN_SIZE),
+                     max(a.shape[2], self.MIN_SIZE), a.shape[3])
+            a = jax.image.resize(a, shape, "bilinear")
+            b = jax.image.resize(b, shape, "bilinear")
         fa = self.net.apply({"params": self.params}, a)
         fb = self.net.apply({"params": self.params}, b)
         total = 0.0

@@ -152,3 +152,13 @@ def test_lpips_zero_for_identical_and_positive_otherwise(key):
     d_diff = np.asarray(lp(a, b))
     np.testing.assert_allclose(d_same, 0.0, atol=1e-6)
     assert (d_diff > 1e-4).all()
+
+
+def test_lpips_tiny_patches_no_nan(key):
+    # patches smaller than the VGG pool stack must not produce empty-mean NaN
+    lp = LPIPS(key)
+    a = jax.random.uniform(key, (4, 6, 6, 3))
+    b = jax.random.uniform(jax.random.fold_in(key, 1), (4, 6, 6, 3))
+    d = np.asarray(lp(a, b))
+    assert np.isfinite(d).all()
+    np.testing.assert_allclose(np.asarray(lp(a, a)), 0.0, atol=1e-6)
