@@ -155,14 +155,14 @@ def render_rays(
         # Gather-free inverse CDF with directly-sorted uniforms + sortless
         # merge (ops/resample.py) — exact drop-in for the oracle below, no
         # gathers or bitonic sorts in the hot path.
-        from ..ops.resample import merge_sorted_onehot, sample_pdf_onehot
+        from ..ops.resample import merge_sorted_fast, sample_pdf_fast
 
-        z_samples = sample_pdf_onehot(
+        z_samples = sample_pdf_fast(
             z_mid, jax.lax.stop_gradient(weights[..., 1:-1]), N_importance,
             det=not perturb, rng=k_pdf, sorted_u=True,
         )
         z_samples = jax.lax.stop_gradient(z_samples)
-        z_all = merge_sorted_onehot(z_vals, z_samples)
+        z_all = merge_sorted_fast(z_vals, z_samples)
     else:
         z_samples = sample_pdf(
             z_mid, jax.lax.stop_gradient(weights[..., 1:-1]), N_importance,

@@ -4,19 +4,34 @@ The reference's native component is torchsearchsorted feeding sample_pdf
 (SURVEY.md §2.1 L0); the straightforward jnp port (core/sampling.py) is the
 oracle. On TPU, its `take_along_axis` gathers on 65-wide rows are
 lane-misaligned and slow (~13 ms / 16k rays measured on v5e). These
-implementations remove EVERY gather:
+implementations remove EVERY gather — and every matmul: an earlier
+one-hot-contraction variant routed f32 z-values through the MXU, where TPU
+default matmul precision truncates operands to bf16 (quantized sample
+depths, NaN training on v5e — found by the verify smoke, git history).
+Everything below is elementwise + reductions, exact in f32.
 
-  - `sample_pdf_onehot`: the below/above bin selectors become one-hot
-    vectors derived from the dense comparison matrix C[n,s,b] = (cdf_b ≤ u_s)
-    (last-True / first-False positions via shifted ANDs), and the four
-    gathered values become batched one-hot contractions — pure VPU compares
-    plus MXU matmuls.
-  - `merge_sorted_onehot`: merging two sorted z-value sets by rank
-    (pos_a[i] = i + #{b_j < a_i}) with a one-hot scatter, replacing the
+  - `sample_pdf_fast`: inverse-CDF sampling via the clamp-sum identity.
+    For a piecewise-linear CDF, the inverse at u is EXACTLY
+
+        z(u) = bins_0 + Σ_b Δbins_b · clamp((u − cdf_b) / pdf_b, 0, 1)
+
+    (intervals fully below u contribute their width, the containing
+    interval contributes fractionally, the rest contribute 0). One fused
+    elementwise pass over [N, S, B−1] + a reduction — no searchsorted, no
+    one-hots, no sort.
+  - `merge_sorted_fast`: merging two sorted z-value sets by rank
+    (pos_a[i] = i + #{b_j < a_i}) with a compare-masked sum, replacing the
     O(S log² S) bitonic sort of jnp.sort on the concatenation.
 
 Both are exact (up to fp roundoff) drop-in equivalents, property-tested
 against the oracle in tests/test_ops.py.
+
+Divergence, documented: at u = 1.0 exactly (the last det sample) with f32
+cumsum overshooting 1.0, the reference's denom<eps→1 guard
+(run_nerf_helpers.py:341-344) collapses the lerp to bins[-2]; the clamp-sum
+form returns the true inverse bins[-1]. One sample at the far ray edge,
+measure-zero for quality; tests compare the last det sample by interval
+membership instead of equality.
 """
 from __future__ import annotations
 
@@ -24,15 +39,12 @@ import jax
 import jax.numpy as jnp
 
 
-def _contract(onehot, values):
-    """einsum('nsb,nb->ns') as a batched MXU matmul."""
-    return jnp.einsum("nsb,nb->ns", onehot, values,
-                      preferred_element_type=jnp.float32)
+def sample_pdf_fast(bins, weights, N_samples: int, *, det: bool = False,
+                    rng=None, eps: float = 1e-5, sorted_u: bool = False):
+    """Inverse-CDF importance sampling, gather- and matmul-free.
 
-
-def sample_pdf_onehot(bins, weights, N_samples: int, *, det: bool = False,
-                      rng=None, eps: float = 1e-5, sorted_u: bool = False):
-    """Inverse-CDF importance sampling, gather-free (sample_pdf contract).
+    Parity: sample_pdf (/root/reference/DS_NeRF/run_nerf_helpers.py:306-349),
+    replacing torch.searchsorted + gathers with the clamp-sum identity.
 
     Args:
       bins: [N, B] sorted bin positions.
@@ -42,48 +54,32 @@ def sample_pdf_onehot(bins, weights, N_samples: int, *, det: bool = False,
       [N, N_samples] samples.
     """
     dtype = bins.dtype
-    B = bins.shape[-1]
     w = weights + eps
-    pdf = w / jnp.sum(w, axis=-1, keepdims=True)
+    pdf = w / jnp.sum(w, axis=-1, keepdims=True)                 # [N, B-1]
     cdf = jnp.cumsum(pdf, axis=-1)
-    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)  # [N,B]
+    cdf_lo = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf[..., :-1]],
+                             axis=-1)                            # [N, B-1]
 
     if det:
         u = jnp.broadcast_to(jnp.linspace(0.0, 1.0, N_samples, dtype=dtype),
-                             cdf.shape[:-1] + (N_samples,))
+                             bins.shape[:-1] + (N_samples,))
     elif sorted_u:
-        u = sorted_uniform(rng, cdf.shape[:-1] + (N_samples,), dtype)
+        u = sorted_uniform(rng, bins.shape[:-1] + (N_samples,), dtype)
     else:
         assert rng is not None
-        u = jax.random.uniform(rng, cdf.shape[:-1] + (N_samples,), dtype=dtype)
+        u = jax.random.uniform(rng, bins.shape[:-1] + (N_samples,),
+                               dtype=dtype)
 
-    # C[n,s,b] = cdf[n,b] <= u[n,s]; always true at b=0 (cdf_0 = 0 ≤ u).
-    C = cdf[:, None, :] <= u[..., None]                       # [N,S,B] bool
-    # below = last True position (inds-1): C_b AND NOT C_{b+1} (False-padded).
-    c_next = jnp.concatenate(
-        [C[..., 1:], jnp.zeros_like(C[..., :1])], axis=-1)
-    oh_below = jnp.logical_and(C, jnp.logical_not(c_next))
-    # above = min(inds, B-1): NOT C_b AND C_{b-1} (True-padded), with the
-    # all-True row falling back to the last bin.
-    c_prev = jnp.concatenate(
-        [jnp.ones_like(C[..., :1]), C[..., :-1]], axis=-1)
-    oh_above = jnp.logical_and(jnp.logical_not(C), c_prev)
-    all_true = C[..., -1:]
-    oh_above = jnp.logical_or(
-        oh_above,
-        jnp.concatenate([jnp.zeros_like(C[..., :-1]), all_true], axis=-1))
-
-    f_below = oh_below.astype(dtype)
-    f_above = oh_above.astype(dtype)
-    cdf_b = _contract(f_below, cdf)
-    cdf_a = _contract(f_above, cdf)
-    bins_b = _contract(f_below, bins)
-    bins_a = _contract(f_above, bins)
-
-    denom = cdf_a - cdf_b
-    denom = jnp.where(denom < eps, jnp.ones_like(denom), denom)
-    t = (u - cdf_b) / denom
-    return bins_b + t * (bins_a - bins_b)
+    dbins = bins[..., 1:] - bins[..., :-1]                       # [N, B-1]
+    # cumsum cancellation can make consecutive cdf values equal even though
+    # pdf > 0; dividing by pdf directly keeps the fraction finite and the
+    # clamp makes degenerate (measure-zero) intervals contribute 0-or-full
+    # width, matching the oracle's denom<eps → 1 guard.
+    inv_pdf = 1.0 / jnp.maximum(pdf, 1e-12)
+    frac = jnp.clip(
+        (u[..., :, None] - cdf_lo[..., None, :]) * inv_pdf[..., None, :],
+        0.0, 1.0)                                                # [N, S, B-1]
+    return bins[..., :1] + jnp.sum(frac * dbins[..., None, :], axis=-1)
 
 
 def sorted_uniform(rng, shape, dtype=jnp.float32):
@@ -97,7 +93,7 @@ def sorted_uniform(rng, shape, dtype=jnp.float32):
     return s[..., :-1] / s[..., -1:]
 
 
-def merge_sorted_onehot(a, b):
+def merge_sorted_fast(a, b):
     """Merge two per-row sorted arrays into one sorted array, gather-free.
 
     Args:
@@ -106,21 +102,25 @@ def merge_sorted_onehot(a, b):
       [N, A+B] sorted union (stable: ties place a's entries first).
 
     Rank trick: a_i lands at i + #{j : b_j < a_i}; b_j lands at
-    j + #{i : a_i <= b_j}. Positions become one-hot rows contracted against
-    the values — compares (VPU) + matmuls (MXU), no sort network.
+    j + #{i : a_i <= b_j}. The scatter to output slots is a compare-masked
+    sum (VPU reduction) — values never enter a matmul, so f32 depths stay
+    exact on TPU (MXU default precision would truncate them to bf16).
     """
     A, B = a.shape[-1], b.shape[-1]
     S = A + B
-    # ranks
     pos_a = jnp.arange(A) + jnp.sum(
         (b[:, None, :] < a[:, :, None]).astype(jnp.int32), axis=-1)  # [N,A]
     pos_b = jnp.arange(B) + jnp.sum(
         (a[:, None, :] <= b[:, :, None]).astype(jnp.int32), axis=-1)  # [N,B]
     slots = jnp.arange(S)
-    oh_a = (pos_a[..., None] == slots).astype(a.dtype)      # [N,A,S]
-    oh_b = (pos_b[..., None] == slots).astype(b.dtype)      # [N,B,S]
-    merged = (jnp.einsum("nas,na->ns", oh_a, a,
-                         preferred_element_type=jnp.float32)
-              + jnp.einsum("nbs,nb->ns", oh_b, b,
-                           preferred_element_type=jnp.float32))
+    merged = (
+        jnp.sum(jnp.where(pos_a[..., None] == slots,
+                          a[..., None], 0.0), axis=-2)
+        + jnp.sum(jnp.where(pos_b[..., None] == slots,
+                            b[..., None], 0.0), axis=-2))        # [N,S]
     return merged.astype(a.dtype)
+
+
+# Backwards-compatible aliases (pre-rewrite names).
+sample_pdf_onehot = sample_pdf_fast
+merge_sorted_onehot = merge_sorted_fast
