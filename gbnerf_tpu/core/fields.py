@@ -46,8 +46,13 @@ class NeRFMLP(nn.Module):
     compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, pts, viewdirs):
-        """pts: [..., 3]; viewdirs: [..., 3] or None → raw [..., 4]."""
+    def __call__(self, pts, viewdirs, sigma_only: bool = False):
+        """pts: [..., 3]; viewdirs: [..., 3] or None → raw [..., 4].
+
+        sigma_only is accepted for FieldFn-contract uniformity; the unused
+        color branch is pruned by XLA DCE, so no explicit fast path here.
+        """
+        del sigma_only
         x = freq_encode(pts.astype(self.compute_dtype), self.multires)
         h = x
         for i in range(self.depth):
@@ -149,7 +154,8 @@ class HashGridField(nn.Module):
         )
 
     @nn.compact
-    def __call__(self, pts, viewdirs):
+    def __call__(self, pts, viewdirs, sigma_only: bool = False):
+        del sigma_only  # color branch pruned by XLA DCE when unused
         T = 2 ** self.log2_hashmap_size
         table = self.param(
             "hash_table",
@@ -189,7 +195,7 @@ def make_field_fn(model: nn.Module, params) -> FieldFn:
     (rays × samples) so the MLP runs as one large MXU batch.
     """
 
-    def field_fn(pts, viewdirs):
+    def field_fn(pts, viewdirs, sigma_only: bool = False):
         batch = pts.shape[:-1]          # [..., S]
         flat_pts = pts.reshape(-1, 3)
         if viewdirs is not None:
@@ -197,7 +203,8 @@ def make_field_fn(model: nn.Module, params) -> FieldFn:
             flat_vd = vd.reshape(-1, 3)
         else:
             flat_vd = None
-        raw = model.apply({"params": params}, flat_pts, flat_vd)
+        raw = model.apply({"params": params}, flat_pts, flat_vd,
+                          sigma_only=sigma_only)
         return raw.reshape(*batch, 4)
 
     return field_fn

@@ -114,6 +114,7 @@ def render_rays(
     detach_weights: bool = False,
     rng=None,
     fast_resample: bool = True,
+    coarse_sigma_only: bool = False,
 ) -> RenderOutputs:
     """Hierarchical coarse→fine volume render of a ray batch.
 
@@ -140,7 +141,10 @@ def render_rays(
     z_vals = jnp.broadcast_to(z_vals, rays_o.shape[:-1] + (N_samples,))
 
     pts = rays_o[..., None, :] + rays_d[..., None, :] * z_vals[..., :, None]
-    raw = coarse_fn(pts, viewdirs)
+    # σ-only coarse: at eval the coarse rgb0 maps are unused; the fused
+    # Pallas field can't rely on XLA DCE, so the skip is explicit.
+    raw = coarse_fn(pts, viewdirs,
+                    sigma_only=coarse_sigma_only and N_importance > 0)
     rgb, disp, acc, weights, depth, alpha = raw2outputs(
         raw, z_vals, rays_d, raw_noise_std=raw_noise_std, rng=k_noise0,
         white_bkgd=white_bkgd, detach_weights=detach_weights,

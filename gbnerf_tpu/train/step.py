@@ -68,6 +68,7 @@ def make_render_fn(cfg: Config, coarse_model, fine_model, near: float, far: floa
             raw_noise_std=r.raw_noise_std if train else 0.0,
             white_bkgd=r.white_bkgd,
             rng=rng,
+            coarse_sigma_only=not train,
         )
 
     return render
