@@ -1,9 +1,10 @@
 """Fused CP-field Pallas TPU kernel: grid encode + σ/color MLPs, one pass.
 
 Replaces the XLA chain encode → HBM → σ-net → HBM → color-net for the
-flagship CP field (core/cp_field.py). Measured on v5e at SD workload shapes:
-289 M pts/s fused vs 177 M pts/s for the XLA chain (1.63x); σ-only variant
-318 M pts/s (tools/exp_kernels.py).
+flagship CP field (core/cp_field.py). Measured on v5e at SD workload shapes
+(TILE=4096): 354 M pts/s fused (σ-only coarse variant 382) vs 177 M pts/s
+for the XLA chain, 2x (tools/exp_kernels.py; a two-hot + difference-line
+variant lost to the doubled matmul width and was rejected).
 
 Two layout decisions carry the win:
 
@@ -32,7 +33,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE = 1024
+TILE = 4096  # v5e sweep: 289 M pts/s @1024, 339 @2048, 354 @4096 (full)
 
 # Ws dict keys, Dense-style [in, out] orientation.
 W_KEYS = ("ws0", "ws1", "wc0", "wc1", "wc2")
