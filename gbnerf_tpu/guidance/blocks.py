@@ -108,9 +108,18 @@ class Attention(nn.Module):
         v = v.reshape(b, m, self.heads, self.dim_head)
 
         scale = self.dim_head ** -0.5
+        if mask is None:
+            # Fused Pallas path for long self-attention (falls back to the
+            # XLA oracle for cross/short/misaligned — ops/attention.py).
+            from ..ops.attention import self_attention
+
+            out = self_attention(q.transpose(0, 2, 1, 3),
+                                 k.transpose(0, 2, 1, 3),
+                                 v.transpose(0, 2, 1, 3), scale=scale)
+            out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)
+            return nn.Dense(inner, dtype=self.dtype, name="to_out_0")(out)
         attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) * scale
-        if mask is not None:
-            attn = attn + mask
+        attn = attn + mask
         attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(q.dtype)
         out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b, n, inner)
         return nn.Dense(inner, dtype=self.dtype, name="to_out_0")(out)

@@ -47,10 +47,9 @@ class VAEAttention(nn.Module):
         q = nn.Dense(c, dtype=self.dtype, name="to_q")(x)
         k = nn.Dense(c, dtype=self.dtype, name="to_k")(x)
         v = nn.Dense(c, dtype=self.dtype, name="to_v")(x)
-        attn = jax.nn.softmax(
-            (q @ k.transpose(0, 2, 1) * (c ** -0.5)).astype(jnp.float32),
-            axis=-1).astype(q.dtype)
-        x = attn @ v
+        from ..ops.attention import self_attention
+
+        x = self_attention(q, k, v, scale=c ** -0.5)
         x = nn.Dense(c, dtype=self.dtype, name="to_out_0")(x)
         return res + x.reshape(b, h, w, c)
 
