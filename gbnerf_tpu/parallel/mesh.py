@@ -25,6 +25,24 @@ def make_mesh(num_devices: int = 0, axis: str = "data") -> Mesh:
     return Mesh(np.asarray(devs), (axis,))
 
 
+def make_mesh_2d(dcn: int, ici: int = 0,
+                 axes: tuple = ("dcn", "data")) -> Mesh:
+    """Hierarchical multi-host mesh: outer ``dcn`` axis (hosts, data-center
+    network) × inner ``data`` axis (chips per host, ICI).
+
+    Ray/diffusion batches shard over BOTH axes (spec ``P(axes)``), so the
+    gradient all-reduce XLA inserts becomes a two-stage reduction: intra-host
+    over ICI, then one inter-host hop over DCN — the standard hierarchical
+    layout from the scaling playbook. Params stay replicated; nothing else
+    in the step changes (pass ``axis=axes`` to make_sharded_train_step).
+    """
+    devs = jax.devices()
+    if not ici:
+        ici = len(devs) // dcn
+    devs = np.asarray(devs[:dcn * ici]).reshape(dcn, ici)
+    return Mesh(devs, axes)
+
+
 def data_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     """Shard the leading (ray/batch) axis across the mesh."""
     return NamedSharding(mesh, P(axis))

@@ -81,3 +81,32 @@ def test_sharded_renderer_matches_unsharded(setup):
                                np.asarray(out_sh["rgb"]), atol=1e-5)
     np.testing.assert_allclose(np.asarray(out_ref.depth),
                                np.asarray(out_sh["depth"]), atol=1e-4)
+
+
+def test_sharded_step_2d_mesh_matches_unsharded(setup):
+    """Hierarchical (dcn, data) mesh — the multi-host layout — must produce
+    the same step as unsharded execution."""
+    from gbnerf_tpu.parallel.mesh import make_mesh_2d
+
+    cfg, state, coarse, fine, _ = setup
+    mesh2 = make_mesh_2d(2, 4)
+    assert mesh2.shape == {"dcn": 2, "data": 4}
+    _step, jit_step, (repl, shard) = make_sharded_train_step(
+        cfg, coarse, fine, 1.2, 5.3, mesh2, axis=("dcn", "data"))
+    key = jax.random.PRNGKey(3)
+    batch = {"clf": _batch(key, 64), "inp": None, "depth": None}
+
+    s0, m0 = _step(state, batch, jax.random.PRNGKey(9))
+    loss0 = float(m0["loss"])
+
+    state_sh = jax.device_put(state, jax.tree_util.tree_map(
+        lambda _: repl, state))
+    batch_sh = jax.device_put(batch, jax.tree_util.tree_map(
+        lambda _: shard, batch))
+    step = jit_step(state_sh, batch_sh)
+    s1, m1 = step(state_sh, batch_sh, jax.random.PRNGKey(9))
+    np.testing.assert_allclose(float(m1["loss"]), loss0, rtol=1e-5)
+    l0 = jax.tree_util.tree_leaves(s0.params)
+    l1 = jax.tree_util.tree_leaves(s1.params)
+    for a, b in zip(l0, l1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
