@@ -196,15 +196,11 @@ def make_field_fn(model: nn.Module, params) -> FieldFn:
     """
 
     def field_fn(pts, viewdirs, sigma_only: bool = False):
-        batch = pts.shape[:-1]          # [..., S]
-        flat_pts = pts.reshape(-1, 3)
-        if viewdirs is not None:
-            vd = jnp.broadcast_to(viewdirs[..., None, :], pts.shape)
-            flat_vd = vd.reshape(-1, 3)
-        else:
-            flat_vd = None
-        raw = model.apply({"params": params}, flat_pts, flat_vd,
-                          sigma_only=sigma_only)
-        return raw.reshape(*batch, 4)
+        # viewdirs stay per-ray ([..., 1, 3] vs pts [..., S, 3]): fields
+        # encode directions at ray granularity and broadcast the (much
+        # smaller) encoding over the sample axis, not the raw dirs.
+        vd = viewdirs[..., None, :] if viewdirs is not None else None
+        raw = model.apply({"params": params}, pts, vd, sigma_only=sigma_only)
+        return raw
 
     return field_fn

