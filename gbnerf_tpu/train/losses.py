@@ -122,16 +122,18 @@ def extract_patches(img, mask, patch_len: int, n_patches: int, rng):
     sampling, reference patch flags run.py:435-440). Static shapes: positions
     are drawn from the mask's coordinate table with replacement."""
     H, W = img.shape[:2]
+    # Images smaller than the configured patch (e.g. smoke scenes) clamp the
+    # patch to the image; LPIPS upsamples sub-32px inputs downstream.
+    pl = min(patch_len, H, W)
     ys, xs = jnp.nonzero(mask, size=H * W, fill_value=0)
     idx = jax.random.randint(rng, (n_patches,), 0, jnp.maximum(
         jnp.sum(mask > 0).astype(jnp.int32), 1))
-    cy = jnp.clip(ys[idx], patch_len // 2, H - patch_len // 2 - 1)
-    cx = jnp.clip(xs[idx], patch_len // 2, W - patch_len // 2 - 1)
+    sy = jnp.clip(ys[idx] - pl // 2, 0, H - pl)
+    sx = jnp.clip(xs[idx] - pl // 2, 0, W - pl)
 
     def cut(c):
         y, x = c
         return jax.lax.dynamic_slice(
-            img, (y - patch_len // 2, x - patch_len // 2, 0),
-            (patch_len, patch_len, img.shape[-1]))
+            img, (y, x, 0), (pl, pl, img.shape[-1]))
 
-    return jax.vmap(cut)((cy, cx))
+    return jax.vmap(cut)((sy, sx))
