@@ -153,6 +153,10 @@ class LLFFScene:
     near: float = 0.0
     far: float = 1.0
     depth_rays: Optional[List[dict]] = field(default=None)  # colmap supervision
+    # Held-out GT for the test poses, when the scene ships it (synthetic
+    # scenes via images_*/test_gt/; absent in the SPIn-NeRF layout) — used
+    # only for eval-PSNR observability, never for training.
+    images_test: Optional[np.ndarray] = field(default=None)
 
 
 def load_poses_bounds(basedir: str):
@@ -181,6 +185,37 @@ def _load_mask_like(path: str, shape, normalize_max: bool) -> np.ndarray:
     return m
 
 
+def _minify(basedir: str, factor: int, *, origin: bool = True) -> None:
+    """Generate images_{factor}/ from full-res assets (pure-Python _minify).
+
+    Parity: /root/reference/DS_NeRF/load_llff.py:14-66 (`_minify`), minus
+    the ImageMagick `mogrify` shell-out — cv2.resize INTER_AREA is the same
+    area-average downsampling. Mirrors whichever of the SPIn-NeRF subdirs
+    (RGB_inpainted / label / Depth_inpainted) exist at full res; a plain
+    images/ dir (origin=False layouts) is downsampled flat.
+    """
+    import cv2
+
+    src_base = os.path.join(basedir, "images")
+    dst_base = os.path.join(basedir, f"images_{factor}")
+    subdirs = [d for d in ("RGB_inpainted", "label", "Depth_inpainted")
+               if os.path.isdir(os.path.join(src_base, d))]
+    pairs = ([(os.path.join(src_base, d), os.path.join(dst_base, d))
+              for d in subdirs] if subdirs else [(src_base, dst_base)])
+    if not os.path.isdir(src_base):
+        return
+    import imageio.v2 as imageio
+
+    for src, dst in pairs:
+        os.makedirs(dst, exist_ok=True)
+        for f in _list_images(src):
+            img = np.asarray(imageio.imread(f))
+            H, W = img.shape[:2]
+            small = cv2.resize(img, (W // factor, H // factor),
+                               interpolation=cv2.INTER_AREA)
+            imageio.imwrite(os.path.join(dst, os.path.basename(f)), small)
+
+
 def load_llff_data(
     basedir: str,
     factor: int = 4,
@@ -194,15 +229,18 @@ def load_llff_data(
 ) -> LLFFScene:
     """Load a SPIn-NeRF-style LLFF scene.
 
-    The image directory is ``images_{factor}`` (pre-downsampled; we do not
-    shell out to ImageMagick — downsampled assets are expected on disk, as
-    they are in the published dataset), or its ``RGB_inpainted`` subdir when
-    ``origin=True``.
+    The image directory is ``images_{factor}`` (or its ``RGB_inpainted``
+    subdir when ``origin=True``). When the factor dir is absent but a
+    full-res ``images/`` exists, it is generated on the fly by ``_minify``
+    — the reference shells out to ImageMagick mogrify (load_llff.py:52-59);
+    ours is pure cv2 INTER_AREA with the same on-disk cache layout.
     """
     all_poses, bds = load_poses_bounds(basedir)
 
     sfx = f"_{factor}" if factor and factor != 1 else ""
     base_imgdir = os.path.join(basedir, "images" + sfx)
+    if load_images and sfx and not os.path.isdir(base_imgdir):
+        _minify(basedir, factor, origin=origin)
     imgdir = os.path.join(base_imgdir, "RGB_inpainted") if origin else base_imgdir
     mskdir = os.path.join(base_imgdir, "label")
     depthdir = os.path.join(base_imgdir, "Depth_inpainted")
@@ -280,12 +318,22 @@ def load_llff_data(
     if len(inpainted_depths) != n_img:
         inpainted_depths = np.zeros((n_img, H, W), np.float32)
 
+    gtdir = os.path.join(os.path.dirname(mskdir), "test_gt")
+    images_test = None
+    if os.path.isdir(gtdir):
+        gtfiles = _list_images(gtdir)
+        if len(gtfiles) == n_test:
+            images_test = np.stack(
+                [_imread(f)[..., :3].astype(np.float32) / 255.0
+                 for f in gtfiles])
+
     return LLFFScene(
         images=images, masks=masks.astype(np.float32),
         inpainted_depths=inpainted_depths.astype(np.float32),
         poses=poses_train, poses_test=poses_test, bds=bds,
         render_poses=render_poses, hwf=(H, W, focal),
         near=float(bds.min() * 0.9), far=float(bds.max() * 1.0),
+        images_test=images_test,
     )
 
 

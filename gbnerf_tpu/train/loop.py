@@ -273,7 +273,12 @@ def train(cfg: Config, *, guidance_fn=None,
             maps = render_pose_path(render_fn, state.params, scene.poses_test,
                                     scene.hwf,
                                     render_factor=max(t.render_factor, 1))
-            dump_eval_images(maps, os.path.join(expdir, f"eval_images_{i + 1}"))
+            gt = scene.images_test if t.render_factor <= 1 else None
+            eval_psnr = dump_eval_images(
+                maps, os.path.join(expdir, f"eval_images_{i + 1}"), gt=gt)
+            if eval_psnr is not None:
+                print(f"[{i + 1}/{t.N_iters}] eval_psnr={eval_psnr:.2f} "
+                      f"(held-out, {len(scene.poses_test)} views)")
 
     ckpt.save(int(state.step), jax.device_get(state))
     ckpt.close()

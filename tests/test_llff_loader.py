@@ -65,3 +65,30 @@ def test_origin_false_uses_plain_images_dir(scene_dir):
     if not has_flat:
         with pytest.raises(FileNotFoundError):
             load_llff_data(scene_dir, factor=4, origin=False)
+
+
+def test_minify_generates_factor_dirs(scene_dir, tmp_path):
+    """Full-res-only scene → loader generates images_{f}/ on the fly
+    (reference _minify parity, load_llff.py:14-66, sans ImageMagick)."""
+    import os
+    import shutil
+
+    d = str(tmp_path / "fullres_scene")
+    shutil.copytree(scene_dir, d)
+    # make the factor-4 assets the "full res" images/ and drop the rest
+    shutil.move(os.path.join(d, "images_4"), os.path.join(d, "images"))
+    scene4 = load_llff_data(scene_dir, factor=4, origin=True)
+
+    scene = load_llff_data(d, factor=2, origin=True)
+    assert os.path.isdir(os.path.join(d, "images_2", "RGB_inpainted"))
+    assert os.path.isdir(os.path.join(d, "images_2", "label"))
+    H4, W4 = scene4.images.shape[1:3]
+    assert scene.images.shape[1:3] == (H4 // 2, W4 // 2)
+    assert scene.masks.shape == scene.images.shape[:3]
+
+
+def test_eval_gt_images_loaded(scene_dir):
+    scene = load_llff_data(scene_dir, factor=4, origin=True)
+    assert scene.images_test is not None
+    assert scene.images_test.shape[0] == len(scene.poses_test)
+    assert scene.images_test.shape[1:] == scene.images.shape[1:]

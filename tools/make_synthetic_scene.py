@@ -93,6 +93,12 @@ def main():
     sub = os.path.join(args.out, f"images_{args.factor}")
     for d in ("RGB_inpainted", "label", "Depth_inpainted"):
         os.makedirs(os.path.join(sub, d), exist_ok=True)
+    # Held-out ground truth for the test poses (not part of the SPIn-NeRF
+    # layout — the loader picks it up opportunistically for eval PSNR).
+    os.makedirs(os.path.join(sub, "test_gt"), exist_ok=True)
+    for k in range(args.n_test):
+        img8 = (np.clip(imgs[k], 0, 1) * 255).astype(np.uint8)
+        imageio.imwrite(os.path.join(sub, "test_gt", f"img_{k:03d}.png"), img8)
     # Train images only in the asset dirs (test poses lead poses_bounds).
     for k in range(args.n_test, n_total):
         name = f"img_{k:03d}.png"
