@@ -101,6 +101,7 @@ class GuidanceConfig:
     # (no network in this environment; random init when absent).
     sd_weights_dir: Optional[str] = None
     sd_tiny: bool = False          # tiny random SD stack (tests/smoke)
+    sd_allow_random: bool = False  # full-size SD with random init (benchmarks)
     prompt: str = ""
     prompt_normal: str = ""
     negative_prompt: str = ""
@@ -205,6 +206,7 @@ _FLAG_MAP = {
     "negative_prompt": ("guidance", "negative_prompt"),
     "sd_weights_dir": ("guidance", "sd_weights_dir"),
     "sd_tiny": ("guidance", "sd_tiny"),
+    "sd_allow_random": ("guidance", "sd_allow_random"),
     # reference aconfig_1.txt aliases
     "normal_start": ("guidance", "normal_start_iter"),
     "rgb_guidance_scale": ("guidance", "guidance_scale"),

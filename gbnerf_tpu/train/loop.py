@@ -190,7 +190,7 @@ def train(cfg: Config, *, guidance_fn=None,
     if (guidance_fn is None and not t.first_stage
             and "SD" in g.guidance
             and (g.is_rgb_guidance or g.is_normal_guidance)
-            and (g.sd_weights_dir or g.sd_tiny)):
+            and (g.sd_weights_dir or g.sd_tiny or g.sd_allow_random)):
         from ..guidance import build_sd_modules, make_guidance_fn
         from ..guidance.text import CLIPTextConfig
         from ..guidance.unet import UNetConfig
@@ -212,6 +212,13 @@ def train(cfg: Config, *, guidance_fn=None,
         print(f"[guidance] SD stack ready "
               f"({'tiny' if g.sd_tiny else 'SD1.5-inpaint'}, "
               f"weights={'loaded' if g.sd_weights_dir else 'random'})")
+    elif (guidance_fn is None and not t.first_stage
+          and "SD" in g.guidance
+          and (g.is_rgb_guidance or g.is_normal_guidance)):
+        print("[guidance] WARNING: guidance requested but no sd_weights_dir "
+              "given — guidance DISABLED. Set sd_weights_dir to a local "
+              "diffusers checkpoint (or sd_tiny/sd_allow_random for "
+              "weightless runs).")
 
     lpips_fn = None
     if t.lpips:
