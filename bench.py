@@ -15,10 +15,12 @@ loop-invariant body gets hoisted out of the fori_loop by XLA (LICM), silently
 measuring ONE render instead of N.
 
 Flagship = the TPU-native CP-factorized grid field (interpolation as
-two-hot/triangle matmuls on the MXU — core/cp_field.py, ops/cp_pallas.py)
-with gather-free inverse-CDF resampling (ops/resample.py). Honest (LICM-safe)
+two-hot/triangle matmuls on the MXU — core/cp_field.py, fused Pallas kernel
+ops/field_fused.py) with gather-free inverse-CDF resampling (ops/resample.py)
+and MXU triangular-matmul cumulative ops (ops/scan.py). Honest (LICM-safe)
 history on v5e at this workload: hash-grid (tcnn parity) ≈0.01 → MLP bf16
-0.28 → unified CP grid 1.29 M rays/s.
+0.28 → unified CP grid 1.29 → fused field kernel 2.17 → sort-merge +
+matmul-cumsum/cumprod + amortized dispatch 3.14 M rays/s.
 """
 from __future__ import annotations
 
@@ -45,7 +47,10 @@ def main():
     state, coarse, fine = create_train_state(cfg, jax.random.PRNGKey(0))
     render = make_render_fn(cfg, coarse, fine, near=1.2, far=5.3)
 
-    n, reps = 16384, 32
+    # reps amortize the ~27 ms fixed per-dispatch overhead of the axon
+    # tunnel (measured: a trivial jit call costs ~27 ms wall regardless of
+    # content); at 128 reps it is <4% of the measurement.
+    n, reps = 16384, 128
     k = jax.random.PRNGKey(1)
     rays_o = jax.random.normal(k, (n, 3)) * 0.1
     rays_d = jax.random.normal(jax.random.fold_in(k, 1), (n, 3))

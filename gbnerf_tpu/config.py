@@ -26,6 +26,13 @@ class FieldConfig:
     field_type: str = "cp"
     cp_resolutions: Tuple[int, ...] = (17, 33, 65, 129, 257)
     cp_rank: int = 16
+    # Proposal-style coarse field (mip-NeRF-360 proposal-MLP idea, TPU-cast):
+    # the coarse pass only shapes importance sampling (+ an auxiliary rgb0
+    # loss), so a smaller CP grid suffices — its triangle masks scale with
+    # R_max, making the coarse σ pass ~4x cheaper at (17,33,65). None →
+    # same resolutions/rank as the fine field (reference parity).
+    cp_resolutions_coarse: Optional[Tuple[int, ...]] = None
+    cp_rank_coarse: Optional[int] = None
     # CP grids have FIXED per-axis node budgets (unlike the hash grid, whose
     # fine levels keep resolving inside a huge bound) — so the CP bound must
     # hug the scene. LLFF-rescaled scenes fit comfortably in ±8.
@@ -43,6 +50,10 @@ class FieldConfig:
     log2_hashmap_size: int = 19
     base_res: int = 16
     compute_dtype: str = "float32"  # "bfloat16" for MXU-friendly training
+    # NeRF_RGB parity (reference --alpha_model_path, run.py:376,2015-2044):
+    # checkpoint dir of a pretrained run whose fine field supplies FROZEN σ;
+    # only the color output of the trainable field optimizes.
+    alpha_model_path: Optional[str] = None
 
 
 @dataclass(frozen=True)
@@ -173,7 +184,10 @@ _FLAG_MAP = {
     "netwidth_fine": ("field", "netwidth_fine"), "multires": ("field", "multires"),
     "multires_views": ("field", "multires_views"),
     "use_viewdirs": ("field", "use_viewdirs"), "bound": ("field", "bound"),
+    "alpha_model_path": ("field", "alpha_model_path"),
     "field_type": ("field", "field_type"), "cp_rank": ("field", "cp_rank"),
+    "cp_rank_coarse": ("field", "cp_rank_coarse"),
+    "cp_resolutions_coarse": ("field", "cp_resolutions_coarse"),
     "cp_bound": ("field", "cp_bound"),
     "cp_resolutions": ("field", "cp_resolutions"),
     # render
@@ -266,8 +280,11 @@ def load_reference_config(path: str, base: Optional[Config] = None) -> Config:
             val = _coerce(value, ftype)
             if fname == "guidance" and isinstance(val, str):
                 val = tuple(val.split(","))
-            elif fname == "cp_resolutions" and isinstance(val, str):
+            elif (fname in ("cp_resolutions", "cp_resolutions_coarse")
+                  and isinstance(val, str)):
                 val = tuple(int(x) for x in val.split(","))
+            elif fname == "cp_resolutions_coarse" and isinstance(val, int):
+                val = (val,)  # single-resolution coarse grid
             sections[section][fname] = val
     return Config(**{
         s: dataclasses.replace(getattr(cfg, s), **kv) if kv else getattr(cfg, s)

@@ -188,6 +188,28 @@ class HashGridField(nn.Module):
         return jnp.concatenate([rgb, sigma], axis=-1).astype(jnp.float32)
 
 
+def make_frozen_sigma_field_fn(rgb_fn: FieldFn, alpha_fn: FieldFn) -> FieldFn:
+    """NeRF_RGB parity: σ from a frozen pretrained field, RGB trains.
+
+    Reference (run_nerf_helpers.py:161-218 ``NeRF_RGB``, run.py:2015-2044):
+    with --alpha_model_path a pretrained fine network supplies σ under
+    torch.no_grad and only the color model optimizes. Here the frozen field
+    is any FieldFn evaluated σ-only under stop_gradient, composed with the
+    trainable field's color output — works for the MLP, hash and CP fields
+    alike instead of duplicating the module.
+    """
+
+    def field_fn(pts, viewdirs, sigma_only: bool = False):
+        alpha_raw = jax.lax.stop_gradient(
+            alpha_fn(pts, viewdirs, sigma_only=True))
+        if sigma_only:
+            return alpha_raw
+        raw = rgb_fn(pts, viewdirs)
+        return jnp.concatenate([raw[..., :3], alpha_raw[..., 3:4]], axis=-1)
+
+    return field_fn
+
+
 def make_field_fn(model: nn.Module, params) -> FieldFn:
     """Close a flax field over params → FieldFn for render_rays.
 

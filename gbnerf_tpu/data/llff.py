@@ -426,3 +426,19 @@ def load_colmap_depth(
                 "weight": np.array(weight_l, np.float32),
             })
     return data_list
+
+
+def load_sensor_depth(basedir: str, factor: int = 8, *,
+                      bd_factor: float = 0.75) -> List[dict]:
+    """Sensor-depth variant of the sparse supervision loader.
+
+    Parity: load_sensor_depth (/root/reference/DS_NeRF/load_llff.py:521-578)
+    — identical projection/weighting math to load_colmap_depth but over ALL
+    registered images (no test-split id offset), with the result cached to
+    ``colmap_depth.npy`` as the reference does.
+    """
+    data_list = load_colmap_depth(basedir, factor, bd_factor=bd_factor,
+                                  skip_first=0)
+    np.save(str(Path(basedir) / "colmap_depth.npy"),
+            np.asarray(data_list, dtype=object), allow_pickle=True)
+    return data_list

@@ -19,9 +19,10 @@ Everything below is elementwise + reductions, exact in f32.
     interval contributes fractionally, the rest contribute 0). One fused
     elementwise pass over [N, S, B−1] + a reduction — no searchsorted, no
     one-hots, no sort.
-  - `merge_sorted_fast`: merging two sorted z-value sets by rank
-    (pos_a[i] = i + #{b_j < a_i}) with a compare-masked sum, replacing the
-    O(S log² S) bitonic sort of jnp.sort on the concatenation.
+  - `merge_sorted_fast`: sorted union of two z-value sets. A stable sort of
+    the concatenation measured FASTER on v5e than the gather-free rank
+    scatter at production shapes (0.33 vs 1.25 ms at [16k, 64+64]); the
+    rank variant survives as `merge_sorted_countsort`.
 
 Both are exact (up to fp roundoff) drop-in equivalents, property-tested
 against the oracle in tests/test_ops.py.
@@ -56,7 +57,9 @@ def sample_pdf_fast(bins, weights, N_samples: int, *, det: bool = False,
     dtype = bins.dtype
     w = weights + eps
     pdf = w / jnp.sum(w, axis=-1, keepdims=True)                 # [N, B-1]
-    cdf = jnp.cumsum(pdf, axis=-1)
+    from .scan import cumsum_last
+
+    cdf = cumsum_last(pdf)  # triangular MXU matmul on TPU (ops/scan.py)
     cdf_lo = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf[..., :-1]],
                              axis=-1)                            # [N, B-1]
 
@@ -88,23 +91,42 @@ def sorted_uniform(rng, shape, dtype=jnp.float32):
     S_k = Σ_{j≤k} E_j, E_j ~ Exp(1). Distributionally identical to sorting
     iid U(0,1) draws; keeps the whole fine-sampling path sort-free."""
     n = shape[-1]
+    from .scan import cumsum_last
+
     e = jax.random.exponential(rng, shape[:-1] + (n + 1,), dtype)
-    s = jnp.cumsum(e, axis=-1)
+    s = cumsum_last(e)
     return s[..., :-1] / s[..., -1:]
 
 
 def merge_sorted_fast(a, b):
-    """Merge two per-row sorted arrays into one sorted array, gather-free.
+    """Merge two per-row sorted arrays into one sorted array.
 
     Args:
       a: [N, A] sorted ascending; b: [N, B] sorted ascending.
     Returns:
       [N, A+B] sorted union (stable: ties place a's entries first).
 
-    Rank trick: a_i lands at i + #{j : b_j < a_i}; b_j lands at
-    j + #{i : a_i <= b_j}. The scatter to output slots is a compare-masked
-    sum (VPU reduction) — values never enter a matmul, so f32 depths stay
-    exact on TPU (MXU default precision would truncate them to bf16).
+    Implementation: stable sort of the concatenation — measured 3.8x FASTER
+    on TPU v5e than the gather-free compare-masked-sum rank scatter at the
+    production shape [16k, 64+64] (0.33 vs 1.25 ms net of dispatch
+    overhead; /tmp-era experiment recorded in tools/exp_scan.py notes).
+    XLA's bitonic sort network on a 128-wide row is cheap; the rank
+    scatter's [N, A, A+B] one-hot intermediates are HBM-bound. The rank
+    variant is kept below as merge_sorted_countsort (still gather- and
+    matmul-free, exact f32) for narrow-row cases and as a second oracle.
+    """
+    merged = jnp.sort(jnp.concatenate([a, b], axis=-1), axis=-1,
+                      stable=True)
+    return merged.astype(a.dtype)
+
+
+def merge_sorted_countsort(a, b):
+    """Gather-free rank-scatter merge (compare-masked sums, exact f32).
+
+    a_i lands at i + #{j : b_j < a_i}; b_j lands at j + #{i : a_i <= b_j};
+    the scatter to output slots is a compare-masked sum (VPU reduction) —
+    values never enter a matmul, so f32 depths stay exact on TPU (MXU
+    default precision would truncate them to bf16).
     """
     A, B = a.shape[-1], b.shape[-1]
     S = A + B

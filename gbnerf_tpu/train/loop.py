@@ -96,6 +96,25 @@ def load_scene(cfg: Config):
                      "(llff | nerd | blender | dtu)")
 
 
+def load_alpha_model(cfg: Config):
+    """NeRF_RGB parity (reference --alpha_model_path, run.py:2015-2044):
+    load a pretrained run's fine field to supply frozen σ; returns
+    (model, params) or None. Points at a checkpoint dir of THIS framework
+    (the reference points at a .tar of its own format)."""
+    path = cfg.field.alpha_model_path
+    if not path:
+        return None
+    dummy, coarse, fine = create_train_state(cfg, jax.random.PRNGKey(0))
+    mgr = CheckpointManager(path)
+    if mgr.latest_step() is None:
+        raise SystemExit(f"alpha_model_path has no checkpoint: {path}")
+    restored = mgr.restore(dummy)
+    mgr.close()
+    which = "fine" if fine is not None else "coarse"
+    print(f"[alpha] frozen σ from {path} ({which} field)")
+    return (fine if fine is not None else coarse, restored.params[which])
+
+
 def render_only(cfg: Config) -> dict:
     """Reference --render_only short-circuit (run.py:976-1023): reload the
     latest checkpoint and render the test + spiral paths to disk."""
@@ -112,7 +131,8 @@ def render_only(cfg: Config) -> dict:
     state = ckpt.restore(state)
     ckpt.close()
 
-    render_fn = make_render_fn(cfg, coarse, fine, scene.near, scene.far)
+    render_fn = make_render_fn(cfg, coarse, fine, scene.near, scene.far,
+                               alpha=load_alpha_model(cfg))
     outdir = os.path.join(expdir, f"renderonly_{step:06d}")
     rf = max(t.render_factor, 1)
     if len(scene.poses_test):
@@ -227,15 +247,18 @@ def train(cfg: Config, *, guidance_fn=None,
         rng, k_lp = jax.random.split(rng)
         lpips_fn = LPIPS(k_lp)
 
-    render_fn = make_render_fn(cfg, coarse, fine, scene.near, scene.far)
+    alpha = load_alpha_model(cfg)
+    render_fn = make_render_fn(cfg, coarse, fine, scene.near, scene.far,
+                               alpha=alpha)
     if t.first_stage:
-        step_fn = make_train_step_stage1(cfg, coarse, fine, scene.near, scene.far)
+        step_fn = make_train_step_stage1(cfg, coarse, fine, scene.near,
+                                         scene.far, alpha=alpha)
         def do_step(state, key):
             return step_fn(state, banks_dev, key)
     else:
         step_fn = make_train_step_stage2(
             cfg, coarse, fine, scene.near, scene.far, scene.hwf,
-            guidance_fn=guidance_fn, lpips_fn=lpips_fn)
+            guidance_fn=guidance_fn, lpips_fn=lpips_fn, alpha=alpha)
         def do_step(state, key):
             return step_fn(state, scene_dev, banks_dev, key, gparams)
 

@@ -47,8 +47,12 @@ def build_field(cfg: Config, fine: bool = False) -> nn.Module:
         )
     from ..core.cp_field import CPGridField
 
-    return CPGridField(bound=f.cp_bound, resolutions=tuple(f.cp_resolutions),
-                       rank=f.cp_rank)
+    res, rank = tuple(f.cp_resolutions), f.cp_rank
+    if not fine:
+        # Proposal-style coarse field (see FieldConfig.cp_resolutions_coarse).
+        res = tuple(f.cp_resolutions_coarse or res)
+        rank = f.cp_rank_coarse or rank
+    return CPGridField(bound=f.cp_bound, resolutions=res, rank=rank)
 
 
 def lr_schedule(cfg: Config):

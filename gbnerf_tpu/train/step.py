@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from ..config import Config
 from ..core.normals import depth2xyz, depth2normal_geo
 from ..core.render import RenderOutputs, render_rays, render_rays_blocked
-from ..core.fields import make_field_fn
+from ..core.fields import make_field_fn, make_frozen_sigma_field_fn
 from ..data.rays_bank import sample_batch
 from ..utils.metrics import img2mse, mse2psnr, weighted_mse
 from .state import TrainState, make_optimizer
@@ -40,11 +40,16 @@ from .state import TrainState, make_optimizer
 GuidanceFn = Callable[..., jnp.ndarray]
 
 
-def make_render_fn(cfg: Config, coarse_model, fine_model, near: float, far: float):
+def make_render_fn(cfg: Config, coarse_model, fine_model, near: float, far: float,
+                   alpha=None):
     """Build render(params, rays_o, rays_d, rng, train) → RenderOutputs.
 
     near/far are scene constants (reference render_kwargs); NDC reparam is
     applied when the config asks for it (LLFF forward-facing, no_ndc=False).
+
+    alpha: optional (model, params) pair of a FROZEN pretrained field that
+    supplies σ (NeRF_RGB / --alpha_model_path parity, run.py:2015-2044);
+    when given, only the color output of coarse/fine trains.
     """
     r = cfg.render
 
@@ -60,6 +65,11 @@ def make_render_fn(cfg: Config, coarse_model, fine_model, near: float, far: floa
         coarse_fn = make_field_fn(coarse_model, params["coarse"])
         fine_fn = (make_field_fn(fine_model, params["fine"])
                    if fine_model is not None else None)
+        if alpha is not None:
+            alpha_fn = make_field_fn(alpha[0], alpha[1])
+            coarse_fn = make_frozen_sigma_field_fn(coarse_fn, alpha_fn)
+            fine_fn = (make_frozen_sigma_field_fn(fine_fn, alpha_fn)
+                       if fine_fn is not None else None)
         return render_rays(
             coarse_fn, fine_fn, rays_o, rays_d, viewdirs, n, f,
             N_samples=r.N_samples, N_importance=r.N_importance,
@@ -157,9 +167,10 @@ def _masked_rays(H: int, W: int, focal: float, pose, coords):
 
 
 def make_train_step_stage1(cfg: Config, coarse_model, fine_model,
-                           near: float, far: float):
+                           near: float, far: float, alpha=None):
     """DS-NeRF batched training step (reference first_stage path)."""
-    render = make_render_fn(cfg, coarse_model, fine_model, near, far)
+    render = make_render_fn(cfg, coarse_model, fine_model, near, far,
+                            alpha=alpha)
     tx = make_optimizer(cfg)
     t, d = cfg.train, cfg.data
 
@@ -218,14 +229,15 @@ def make_train_step_stage1(cfg: Config, coarse_model, fine_model,
 def make_train_step_stage2(cfg: Config, coarse_model, fine_model,
                            near: float, far: float,
                            hwf, *, guidance_fn: Optional[GuidanceFn] = None,
-                           lpips_fn=None):
+                           lpips_fn=None, alpha=None):
     """Masked-inpainting training step (reference second_stage path).
 
     hwf: (H, W, focal) of the training views (static).
     lpips_fn: optional perceptual distance ([B,h,w,3]×2 → [B]) enabling the
     masked patch loss (reference --lpips, run.py:416,435-440).
     """
-    render = make_render_fn(cfg, coarse_model, fine_model, near, far)
+    render = make_render_fn(cfg, coarse_model, fine_model, near, far,
+                            alpha=alpha)
     tx = make_optimizer(cfg)
     t, d, g = cfg.train, cfg.data, cfg.guidance
     H, W, focal = int(hwf[0]), int(hwf[1]), float(hwf[2])

@@ -86,3 +86,31 @@ def test_cp_field_can_overfit_a_density(key):
         params, opt, loss = step(params, opt)
     first = float(jnp.mean((model.apply({"params": model.init(key, pts, dirs)["params"]}, pts, dirs)[:, 3] - target) ** 2))
     assert float(loss) < first * 0.1, (first, float(loss))
+
+
+def test_proposal_coarse_field_config():
+    """cp_resolutions_coarse builds a smaller coarse field; render runs."""
+    import jax
+    import jax.numpy as jnp
+    import dataclasses
+    from gbnerf_tpu.config import Config, FieldConfig, RenderConfig
+    from gbnerf_tpu.train.state import create_train_state
+    from gbnerf_tpu.train.step import make_render_fn
+
+    cfg = Config(
+        field=FieldConfig(no_tcnn=False, field_type="cp",
+                          cp_resolutions=(17, 33, 65), cp_rank=8,
+                          cp_resolutions_coarse=(17, 33), cp_rank_coarse=4),
+        render=RenderConfig(N_samples=8, N_importance=8))
+    state, coarse, fine = create_train_state(cfg, jax.random.PRNGKey(0))
+    # coarse grid params strictly smaller than fine
+    csize = sum(x.size for x in jax.tree_util.tree_leaves(state.params["coarse"]))
+    fsize = sum(x.size for x in jax.tree_util.tree_leaves(state.params["fine"]))
+    assert csize < fsize
+    render = make_render_fn(cfg, coarse, fine, near=1.0, far=4.0)
+    k = jax.random.PRNGKey(1)
+    ro = jax.random.normal(k, (16, 3)) * 0.1
+    rd = jax.random.normal(jax.random.fold_in(k, 1), (16, 3))
+    rd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+    out = render(state.params, ro, rd, jax.random.PRNGKey(2), train=True)
+    assert np.isfinite(np.asarray(out.rgb)).all()

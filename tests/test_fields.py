@@ -96,3 +96,42 @@ def test_hashgrid_field_forward(key):
     out2 = model.apply({"params": params}, pts, -dirs)
     np.testing.assert_allclose(np.asarray(out[..., 3]), np.asarray(out2[..., 3]),
                                atol=1e-5)
+
+
+def test_frozen_sigma_field_nerf_rgb_parity(key):
+    """NeRF_RGB parity (reference run_nerf_helpers.py:161-218): σ comes from
+    the frozen alpha model, rgb from the trainable model, and no gradient
+    reaches the alpha params."""
+    from gbnerf_tpu.core import make_field_fn, make_frozen_sigma_field_fn
+
+    model = NeRFMLP(depth=2, width=32, skips=(1,), multires=4, multires_views=2)
+    pts = jax.random.normal(key, (6, 5, 3))
+    dirs = jax.random.normal(jax.random.fold_in(key, 1), (6, 3))
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    p_rgb = model.init(key, pts, dirs[:, None]) ["params"]
+    p_alpha = model.init(jax.random.fold_in(key, 2), pts, dirs[:, None])["params"]
+
+    def build(p_r, p_a):
+        return make_frozen_sigma_field_fn(
+            make_field_fn(model, p_r), make_field_fn(model, p_a))
+
+    raw = build(p_rgb, p_alpha)(pts, dirs)
+    raw_rgb = make_field_fn(model, p_rgb)(pts, dirs)
+    raw_alpha = make_field_fn(model, p_alpha)(pts, dirs)
+    np.testing.assert_allclose(np.asarray(raw[..., :3]),
+                               np.asarray(raw_rgb[..., :3]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(raw[..., 3]),
+                               np.asarray(raw_alpha[..., 3]), atol=1e-6)
+    # sigma_only routes straight to the alpha model
+    raw_s = build(p_rgb, p_alpha)(pts, dirs, sigma_only=True)
+    np.testing.assert_allclose(np.asarray(raw_s[..., 3]),
+                               np.asarray(raw_alpha[..., 3]), atol=1e-6)
+
+    # gradients: flow to rgb params, identically zero to alpha params
+    g_rgb, g_alpha = jax.grad(
+        lambda pr, pa: jnp.sum(build(pr, pa)(pts, dirs)), argnums=(0, 1)
+    )(p_rgb, p_alpha)
+    assert max(float(jnp.abs(g).max())
+               for g in jax.tree_util.tree_leaves(g_alpha)) == 0.0
+    assert max(float(jnp.abs(g).max())
+               for g in jax.tree_util.tree_leaves(g_rgb)) > 0.0

@@ -60,3 +60,77 @@ def test_merge_gradients_flow(key):
     b = jnp.sort(jax.random.uniform(jax.random.fold_in(key, 1), (4, 6)), -1)
     g = jax.grad(lambda b: jnp.sum(merge_sorted_onehot(a, b) ** 2))(b)
     assert float(jnp.abs(g).max()) > 0
+
+
+def test_cumsum_mm_matches_jnp_cumsum():
+    """ops/scan.py triangular-matmul cumsum ≡ jnp.cumsum (both orders)."""
+    import jax
+    import jax.numpy as jnp
+    from gbnerf_tpu.ops.scan import _cumsum_mm, cumsum_last
+
+    x = jax.random.uniform(jax.random.PRNGKey(3), (37, 128))
+    np.testing.assert_allclose(np.asarray(_cumsum_mm(x)),
+                               np.asarray(jnp.cumsum(x, axis=-1)),
+                               rtol=1e-5, atol=1e-5)
+    excl = _cumsum_mm(x, exclusive=True)
+    ref = jnp.concatenate([jnp.zeros_like(x[..., :1]),
+                           jnp.cumsum(x, axis=-1)[..., :-1]], axis=-1)
+    np.testing.assert_allclose(np.asarray(excl), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    # batched leading dims
+    xb = x.reshape(37, 1, 128)
+    np.testing.assert_allclose(np.asarray(_cumsum_mm(xb)),
+                               np.asarray(jnp.cumsum(xb, axis=-1)),
+                               rtol=1e-5, atol=1e-5)
+    # public entry on CPU = exact jnp path
+    np.testing.assert_allclose(np.asarray(cumsum_last(x)),
+                               np.asarray(jnp.cumsum(x, axis=-1)), atol=0)
+
+
+def test_cumprod_exclusive_logspace_matches_cumprod():
+    """exp∘cumsum∘log transmittance form ≡ exclusive cumprod with the
+    reference's per-factor ε (raw2outputs parity, run_nerf_helpers.py:375)."""
+    import jax
+    import jax.numpy as jnp
+    from gbnerf_tpu.ops.scan import _cumsum_mm
+
+    alpha = jax.random.uniform(jax.random.PRNGKey(4), (19, 64))
+    alpha = alpha.at[:, 5].set(1.0)  # opaque sample → factor floor 1e-10
+    x = 1.0 - alpha
+    ref = jnp.cumprod(jnp.concatenate(
+        [jnp.ones_like(x[..., :1]), x[..., :-1] + 1e-10], -1), axis=-1)
+    got = jnp.exp(_cumsum_mm(jnp.log(x + 1e-10), exclusive=True))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-3, atol=1e-6)
+
+
+def test_merge_countsort_matches_sort_merge(rng):
+    """The gather-free rank-scatter variant stays exact vs the sort path."""
+    from gbnerf_tpu.ops.resample import merge_sorted_countsort, merge_sorted_fast
+
+    a = np.sort(rng.random((7, 9)).astype(np.float32), axis=-1)
+    b = np.sort(rng.random((7, 5)).astype(np.float32), axis=-1)
+    np.testing.assert_array_equal(
+        np.asarray(merge_sorted_countsort(jnp.asarray(a), jnp.asarray(b))),
+        np.asarray(merge_sorted_fast(jnp.asarray(a), jnp.asarray(b))))
+
+
+def test_cumprod_logspace_tpu_form_is_inf_free_at_alpha_one():
+    """Regression (verify-caught): the TPU log-space transmittance must use
+    max(x, ε) — an additive (1-α)+ε gets reassociated by XLA into
+    (1+ε)-α == 1-α in f32, so opaque samples produce log(0) = -inf and the
+    triangular matmul turns -inf·0 into row-wide NaN."""
+    import jax.numpy as jnp
+    from gbnerf_tpu.ops.scan import _cumsum_mm
+
+    alpha = jnp.zeros((4, 16)).at[:, 3].set(1.0).at[:, 9].set(1.0)
+    x = 1.0 - alpha
+    # exact expression of the TPU branch in cumprod_last_exclusive
+    lg = jnp.log(jnp.maximum(x, 1e-10))
+    assert np.isfinite(np.asarray(lg)).all()
+    got = jnp.exp(_cumsum_mm(lg, exclusive=True))
+    ref = jnp.cumprod(jnp.concatenate(
+        [jnp.ones_like(x[..., :1]), x[..., :-1] + 1e-10], -1), axis=-1)
+    assert np.isfinite(np.asarray(got)).all()
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-3, atol=1e-9)

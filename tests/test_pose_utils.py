@@ -11,7 +11,9 @@ from gbnerf_tpu.data.pose_utils import colmap_to_poses_bounds
 from gbnerf_tpu.utils.profiling import StepTimer, nan_guard
 
 
-def make_synthetic_colmap(tmp_path, rng, n_img=4):
+def make_synthetic_colmap(tmp_path, rng, n_img=4, aim=False):
+    """aim=True points every camera down +z at the point cluster (z≈4), so
+    sparse-depth projections land inside the scene bounds."""
     sparse = tmp_path / "sparse" / "0"
     os.makedirs(sparse, exist_ok=True)
     cams = {1: Camera(1, "PINHOLE", 640, 480,
@@ -27,10 +29,14 @@ def make_synthetic_colmap(tmp_path, rng, n_img=4):
 
     images, c2ws = {}, []
     for k in range(n_img):
-        q, _ = np.linalg.qr(rng.normal(size=(3, 3)))
-        if np.linalg.det(q) < 0:
-            q[:, 0] *= -1
-        t = rng.normal(size=3)
+        if aim:
+            q = np.eye(3)
+            t = rng.normal(size=3) * 0.1
+        else:
+            q, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+            if np.linalg.det(q) < 0:
+                q[:, 0] *= -1
+            t = rng.normal(size=3)
         w2c = np.eye(4)
         w2c[:3, :3], w2c[:3, 3] = q, t
         c2w = np.linalg.inv(w2c)
@@ -80,3 +86,23 @@ def test_step_timer_skips_compile_interval():
     t.tick(10)
     assert t.steps == 10
     assert t.steady_rate > 0
+
+
+def test_colmap_and_sensor_depth_loaders(tmp_path, rng):
+    """Projection/weighting parity for the sparse-depth loaders
+    (reference load_llff.py:467-518 and the :521-578 sensor variant)."""
+    from gbnerf_tpu.data.llff import load_colmap_depth, load_sensor_depth
+
+    make_synthetic_colmap(tmp_path, rng, aim=True)
+    np.save(tmp_path / "poses_bounds.npy", colmap_to_poses_bounds(str(tmp_path)))
+
+    depth1 = load_colmap_depth(str(tmp_path), factor=4, skip_first=1)
+    assert 0 < len(depth1) <= 3          # 4 images − 1 test split
+    for d in depth1:
+        assert d["depth"].shape == d["weight"].shape
+        assert d["coord"].shape == (len(d["depth"]), 2)
+        assert (d["weight"] > 0).all() and (d["weight"] <= 2.0).all()
+
+    depth2 = load_sensor_depth(str(tmp_path), factor=4)
+    assert len(depth2) >= len(depth1)    # no test-split offset → ≥ coverage
+    assert (tmp_path / "colmap_depth.npy").exists()
