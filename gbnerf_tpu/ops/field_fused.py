@@ -83,19 +83,39 @@ def _oracle(x01, sh, ulines, Ws, *, sigma_only: bool):
                        sigma_only=sigma_only)
 
 
+def _encode_split(x_ref, lt_ref, r_max: int, tile: int):
+    """Triangle-mask CP encode over two lane halves: [F, tile] product.
+
+    Generating masks at [r_max, tile/2] and interleaving mask-gen (VPU)
+    with the encode matmuls (MXU) of the other half lets Mosaic co-issue
+    the two ports — measured ~7% over the whole-tile order at TILE=4096
+    (tools/exp_mask.py v3; masks-first and MXU-diff variants lost).
+    Pure reordering: values are bit-identical to the whole-tile kernel.
+    """
+    half = tile // 2
+    pos = jax.lax.broadcasted_iota(
+        jnp.int32, (r_max, half), 0).astype(jnp.float32)
+
+    def mask(axis, lo):
+        u = jnp.clip(x_ref[axis, lo:lo + half], 0.0, 1.0) * (r_max - 1)
+        return jnp.maximum(1.0 - jnp.abs(pos - u[None, :]),
+                           0.0).astype(jnp.bfloat16)
+
+    outs = []
+    for lo in (0, half):
+        prod = None
+        for axis in range(3):
+            fa = jnp.dot(lt_ref[axis], mask(axis, lo),
+                         preferred_element_type=jnp.float32)  # [F, half]
+            prod = fa if prod is None else prod * fa
+        outs.append(prod)
+    return jnp.concatenate(outs, axis=1)
+
+
 def _kernel(x_ref, sh_ref, lt_ref, ws0_ref, ws1_ref, wc0_ref, wc1_ref,
             wc2_ref, out_ref, *, r_max: int, sigma_only: bool):
     tile = x_ref.shape[1]
-    pos = jax.lax.broadcasted_iota(
-        jnp.int32, (r_max, tile), 0).astype(jnp.float32)
-    prod = None
-    for axis in range(3):
-        u = jnp.clip(x_ref[axis, :], 0.0, 1.0) * (r_max - 1)
-        w = jnp.maximum(1.0 - jnp.abs(pos - u[None, :]),
-                        0.0).astype(jnp.bfloat16)
-        fa = jnp.dot(lt_ref[axis], w,
-                     preferred_element_type=jnp.float32)   # [F, tile]
-        prod = fa if prod is None else prod * fa
+    prod = _encode_split(x_ref, lt_ref, r_max, tile)
     h = jnp.maximum(jnp.dot(ws0_ref[:], prod.astype(jnp.bfloat16),
                             preferred_element_type=jnp.float32), 0.0)
     h = jnp.dot(ws1_ref[:], h.astype(jnp.bfloat16),
@@ -201,15 +221,7 @@ def cp_field_fused(x01, sh, ulines, Ws, *, sigma_only: bool = False):
 
 def _kernel_sigma(x_ref, lt_ref, ws0_ref, ws1_ref, out_ref, *, r_max: int):
     tile = x_ref.shape[1]
-    pos = jax.lax.broadcasted_iota(
-        jnp.int32, (r_max, tile), 0).astype(jnp.float32)
-    prod = None
-    for axis in range(3):
-        u = jnp.clip(x_ref[axis, :], 0.0, 1.0) * (r_max - 1)
-        w = jnp.maximum(1.0 - jnp.abs(pos - u[None, :]),
-                        0.0).astype(jnp.bfloat16)
-        fa = jnp.dot(lt_ref[axis], w, preferred_element_type=jnp.float32)
-        prod = fa if prod is None else prod * fa
+    prod = _encode_split(x_ref, lt_ref, r_max, tile)
     h = jnp.maximum(jnp.dot(ws0_ref[:], prod.astype(jnp.bfloat16),
                             preferred_element_type=jnp.float32), 0.0)
     h = jnp.dot(ws1_ref[:], h.astype(jnp.bfloat16),
