@@ -250,15 +250,25 @@ def train(cfg: Config, *, guidance_fn=None,
     alpha = load_alpha_model(cfg)
     render_fn = make_render_fn(cfg, coarse, fine, scene.near, scene.far,
                                alpha=alpha)
+    # Multi-chip: shard the per-iteration ray work over a 1D data mesh
+    # (params replicated; XLA all-reduces grads over ICI). The same jitted
+    # step runs 1-chip (mesh=None) or N-chip.
+    mesh = None
+    if jax.device_count() > 1:
+        from jax.sharding import Mesh
+
+        mesh = Mesh(np.asarray(jax.devices()), ("data",))
+        print(f"[mesh] data-parallel over {jax.device_count()} devices")
     if t.first_stage:
         step_fn = make_train_step_stage1(cfg, coarse, fine, scene.near,
-                                         scene.far, alpha=alpha)
+                                         scene.far, alpha=alpha, mesh=mesh)
         def do_step(state, key):
             return step_fn(state, banks_dev, key)
     else:
         step_fn = make_train_step_stage2(
             cfg, coarse, fine, scene.near, scene.far, scene.hwf,
-            guidance_fn=guidance_fn, lpips_fn=lpips_fn, alpha=alpha)
+            guidance_fn=guidance_fn, lpips_fn=lpips_fn, alpha=alpha,
+            mesh=mesh)
         def do_step(state, key):
             return step_fn(state, scene_dev, banks_dev, key, gparams)
 

@@ -166,13 +166,36 @@ def _masked_rays(H: int, W: int, focal: float, pose, coords):
     return rays_o, rays_d
 
 
+def _make_ray_constraint(mesh, mesh_axis: str):
+    """Identity when mesh is None; else a tree-wide leading-axis
+    with_sharding_constraint onto (mesh, P(mesh_axis))."""
+    if mesh is None:
+        return lambda tree: tree
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    shard = NamedSharding(mesh, P(mesh_axis))
+
+    def constrain(tree):
+        return jax.tree_util.tree_map(
+            lambda x: jax.lax.with_sharding_constraint(x, shard), tree)
+
+    return constrain
+
+
 def make_train_step_stage1(cfg: Config, coarse_model, fine_model,
-                           near: float, far: float, alpha=None):
-    """DS-NeRF batched training step (reference first_stage path)."""
+                           near: float, far: float, alpha=None,
+                           mesh=None, mesh_axis: str = "data"):
+    """DS-NeRF batched training step (reference first_stage path).
+
+    mesh: optional jax.sharding.Mesh — shard the sampled ray batches over
+    ``mesh_axis`` (params replicated, gradient all-reduce over ICI); the
+    same step runs 1-chip or N-chip.
+    """
     render = make_render_fn(cfg, coarse_model, fine_model, near, far,
                             alpha=alpha)
     tx = make_optimizer(cfg)
     t, d = cfg.train, cfg.data
+    constrain_rays = _make_ray_constraint(mesh, mesh_axis)
 
     def loss_fn(params, batches, rng):
         k1, k2, k3 = jax.random.split(rng, 3)
@@ -209,12 +232,12 @@ def make_train_step_stage1(cfg: Config, coarse_model, fine_model,
     def step(state: TrainState, banks_dev, rng):
         k_batch, k_loss = jax.random.split(rng)
         ks = jax.random.split(k_batch, 3)
-        batches = {
+        batches = constrain_rays({
             "clf": sample_batch(banks_dev["rgb_clf"], ks[0], t.N_rand),
             "inp": sample_batch(banks_dev["inp"], ks[1], t.N_rand),
             "depth": (sample_batch(banks_dev["depth"], ks[2], t.N_rand)
                       if banks_dev.get("depth") is not None else None),
-        }
+        })
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batches, k_loss)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
@@ -229,12 +252,21 @@ def make_train_step_stage1(cfg: Config, coarse_model, fine_model,
 def make_train_step_stage2(cfg: Config, coarse_model, fine_model,
                            near: float, far: float,
                            hwf, *, guidance_fn: Optional[GuidanceFn] = None,
-                           lpips_fn=None, alpha=None):
+                           lpips_fn=None, alpha=None,
+                           mesh=None, mesh_axis: str = "data"):
     """Masked-inpainting training step (reference second_stage path).
 
     hwf: (H, W, focal) of the training views (static).
     lpips_fn: optional perceptual distance ([B,h,w,3]×2 → [B]) enabling the
     masked patch loss (reference --lpips, run.py:416,435-440).
+    mesh: optional jax.sharding.Mesh — SPMD data parallelism over the ray
+    axis (the reference's nn.DataParallel analog, SURVEY.md §2.3): the
+    per-iteration ray streams and masked-pixel table are sharding-
+    constrained to ``mesh_axis``, params/optimizer stay replicated, and
+    XLA inserts the gradient all-reduce over ICI. The per-view guidance
+    images (one 512² composite per modality) remain replicated — the
+    UNet's batch axis is 1, so its parallelism axis is the ray renders
+    that feed it, not the diffusion batch.
     """
     render = make_render_fn(cfg, coarse_model, fine_model, near, far,
                             alpha=alpha)
@@ -350,12 +382,27 @@ def make_train_step_stage2(cfg: Config, coarse_model, fine_model,
         return loss, {"img_loss": img_loss, "depth_loss": depth_loss,
                       "sds_loss": sds_loss, "psnr": mse2psnr(img_loss)}
 
+    constrain_rays = _make_ray_constraint(mesh, mesh_axis)
+
+    def _shard_batch(batch: Stage2Batch) -> Stage2Batch:
+        """Shard the per-iteration ray work over the mesh's data axis."""
+        if mesh is None:
+            return batch
+        return batch._replace(
+            clf=constrain_rays(batch.clf),
+            inp=constrain_rays(batch.inp),
+            depth=(constrain_rays(batch.depth)
+                   if batch.depth is not None else None),
+            coords=constrain_rays(batch.coords),
+            valid=constrain_rays(batch.valid),
+        )
+
     @jax.jit
     def step(state: TrainState, scene_dev, banks_dev, rng, gparams=None):
         k_sel, k_loss = jax.random.split(rng)
-        batch = select_stage2_view(
+        batch = _shard_batch(select_stage2_view(
             scene_dev, banks_dev, k_sel, t.N_rand,
-            n_colla=4 if (g.is_colla_guidance and guidance_fn) else 0)
+            n_colla=4 if (g.is_colla_guidance and guidance_fn) else 0))
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch, state.step, k_loss, gparams)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)

@@ -112,3 +112,121 @@ def test_sharded_step_2d_mesh_matches_unsharded(setup):
     l1 = jax.tree_util.tree_leaves(s1.params)
     for a, b in zip(l0, l1):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_stage2_step_sharded_matches_unsharded():
+    """Stage-2 (masked inpainting + guidance) under SPMD: the mesh-sharded
+    step must reproduce the single-device step (params replicated, ray
+    streams sharded; see make_train_step_stage2 mesh kwarg)."""
+    import dataclasses
+
+    from gbnerf_tpu.config import GuidanceConfig
+    from gbnerf_tpu.train.step import make_train_step_stage2
+
+    H, W, focal = 12, 16, 14.0
+    n_img, K, n_rand = 2, 16, 32
+    cfg = Config(
+        field=FieldConfig(no_tcnn=True, netdepth=2, netwidth=32,
+                          netdepth_fine=2, netwidth_fine=32, multires=4,
+                          multires_views=2),
+        render=RenderConfig(N_samples=8, N_importance=4, perturb=0.0,
+                            raw_noise_std=0.0),
+        train=TrainConfig(N_rand=n_rand),
+        guidance=GuidanceConfig(is_rgb_guidance=True,
+                                is_normal_guidance=True,
+                                is_colla_guidance=False,
+                                normal_start_iter=0,
+                                normalmap_render_factor=4),
+    )
+    state, coarse, fine = create_train_state(cfg, jax.random.PRNGKey(0))
+
+    def toy_guidance(step_i, combin, normal_map, mask, rng, **kw):
+        loss = jnp.mean(combin ** 2)
+        if normal_map is not None:
+            loss = loss + jnp.mean(normal_map ** 2)
+        return loss
+
+    k = jax.random.PRNGKey(6)
+    xy = jnp.stack(
+        [jax.random.randint(k, (n_img, K), 0, W),
+         jax.random.randint(jax.random.fold_in(k, 1), (n_img, K), 0, H)],
+        axis=-1)
+    scene_dev = {
+        "images": jax.random.uniform(k, (n_img, H, W, 3)),
+        "masks": (jax.random.uniform(jax.random.fold_in(k, 2),
+                                     (n_img, H, W)) < 0.3).astype(jnp.float32),
+        "mask_coords": xy,
+        "mask_valid": jnp.ones((n_img, K), bool),
+        "poses": jnp.tile(jnp.eye(4)[None, :3, :4], (n_img, 1, 1)),
+    }
+
+    def stream(kk, c):
+        o = jax.random.normal(kk, (n_rand, 3)) * 0.1
+        d = jax.random.normal(jax.random.fold_in(kk, 3), (n_rand, 3))
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        return {"o": o, "d": d,
+                "target": jax.random.uniform(jax.random.fold_in(kk, 4),
+                                             (n_rand, c))}
+
+    banks_dev = {"rgb_clf": stream(jax.random.fold_in(k, 5), 3),
+                 "inp": stream(jax.random.fold_in(k, 6), 1),
+                 "depth": stream(jax.random.fold_in(k, 7), 2)}
+
+    args = (1.2, 5.3)
+    step_1 = make_train_step_stage2(cfg, coarse, fine, *args,
+                                    hwf=(H, W, focal),
+                                    guidance_fn=toy_guidance)
+    s0, m0 = step_1(state, scene_dev, banks_dev, jax.random.PRNGKey(8))
+
+    mesh = make_mesh()
+    step_n = make_train_step_stage2(cfg, coarse, fine, *args,
+                                    hwf=(H, W, focal),
+                                    guidance_fn=toy_guidance, mesh=mesh)
+    s1, m1 = step_n(state, scene_dev, banks_dev, jax.random.PRNGKey(8))
+    assert float(m1["sds_loss"]) > 0.0
+    np.testing.assert_allclose(float(m1["loss"]), float(m0["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s0.params),
+                    jax.tree_util.tree_leaves(s1.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_stage1_step_sharded_matches_unsharded():
+    """Stage-1 with the mesh kwarg: sharded sampling+render reproduces the
+    single-device step."""
+    from gbnerf_tpu.train.step import make_train_step_stage1
+    from gbnerf_tpu.train.state import TrainState
+
+    cfg = Config(
+        field=FieldConfig(no_tcnn=True, netdepth=2, netwidth=32,
+                          netdepth_fine=2, netwidth_fine=32, multires=4,
+                          multires_views=2),
+        render=RenderConfig(N_samples=8, N_importance=4, perturb=0.0,
+                            raw_noise_std=0.0),
+        train=TrainConfig(N_rand=32),
+    )
+    state, coarse, fine = create_train_state(cfg, jax.random.PRNGKey(0))
+    k = jax.random.PRNGKey(11)
+
+    def stream(kk, c, n=256):
+        o = jax.random.normal(kk, (n, 3)) * 0.1
+        d = jax.random.normal(jax.random.fold_in(kk, 3), (n, 3))
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        return {"o": o, "d": d,
+                "target": jax.random.uniform(jax.random.fold_in(kk, 4),
+                                             (n, c))}
+
+    banks_dev = {"rgb_clf": stream(k, 3), "inp": stream(
+        jax.random.fold_in(k, 1), 1), "depth": None}
+
+    step_1 = make_train_step_stage1(cfg, coarse, fine, 1.2, 5.3)
+    s0, m0 = step_1(state, banks_dev, jax.random.PRNGKey(9))
+
+    step_n = make_train_step_stage1(cfg, coarse, fine, 1.2, 5.3,
+                                    mesh=make_mesh())
+    s1, m1 = step_n(state, banks_dev, jax.random.PRNGKey(9))
+    np.testing.assert_allclose(float(m1["loss"]), float(m0["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s0.params),
+                    jax.tree_util.tree_leaves(s1.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
