@@ -191,15 +191,27 @@ class Transformer2D(nn.Module):
 
 
 class Downsample2D(nn.Module):
+    """Stride-2 3×3 downsampling conv.
+
+    Padding parity with diffusers' Downsample2D: the VAE encoder uses
+    ASYMMETRIC (0,1) padding (AutoencoderKL passes downsample_padding=0,
+    triggering F.pad(x, (0,1,0,1))); the UNet's down blocks use SYMMETRIC
+    padding=1. Both are expressed INSIDE the conv op — an explicit
+    jnp.pad + VALID conv is numerically identical but costs 1.75× in the
+    BACKWARD pass on TPU (the materialized pad/slice pair breaks XLA's
+    conv layout assignment; measured tools/exp_vae3.py E_jnp_pad 15.7 vs
+    E_conv_pad 9.0 ms fwd+bwd on the encoder skeleton).
+    """
+
     out_channels: int
     dtype: jnp.dtype = jnp.float32
+    asymmetric: bool = True   # VAE default; UNet passes False
 
     @nn.compact
     def __call__(self, x):
-        # SD uses asymmetric (0,1) padding for stride-2 downsampling convs.
-        x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+        pad = ((0, 1), (0, 1)) if self.asymmetric else ((1, 1), (1, 1))
         return nn.Conv(self.out_channels, (3, 3), strides=(2, 2),
-                       padding="VALID", dtype=self.dtype, name="conv")(x)
+                       padding=pad, dtype=self.dtype, name="conv")(x)
 
 
 class Upsample2D(nn.Module):

@@ -86,7 +86,10 @@ class UNet2DCondition(nn.Module):
                         h, encoder_hidden_states)
                 skips.append(h)
             if i < len(cfg.block_out_channels) - 1:
-                h = Downsample2D(out_ch, dtype=self.dtype,
+                # Parity fix: diffusers' UNet down blocks use SYMMETRIC
+                # padding=1 (downsample_padding=1); only the VAE encoder
+                # pads asymmetrically. See blocks.Downsample2D.
+                h = Downsample2D(out_ch, dtype=self.dtype, asymmetric=False,
                                  name=f"down_{i}_downsamplers_0")(h)
                 skips.append(h)
 
