@@ -205,3 +205,36 @@ def test_guidance_normal_gated_by_start_iter(tiny_mods, key):
     late = float(fn(jnp.asarray(10000), rgb, normal, mask, k))
     # same rng: the difference must be exactly the gated normal term
     assert early != late
+
+
+def test_downsample_padding_torch_oracle():
+    """Padding-convention parity against torch (the reference's runtime):
+    VAE downsample == F.pad(x,(0,1,0,1)) + conv2d stride 2 (diffusers
+    AutoencoderKL, downsample_padding=0); UNet downsample == conv2d
+    stride 2 padding=1 (down blocks, downsample_padding=1)."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    from gbnerf_tpu.guidance.blocks import Downsample2D
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(1, 16, 16, 8)).astype(np.float32)
+    w = rng.normal(size=(3, 3, 8, 8)).astype(np.float32) * 0.1
+
+    xt = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+    wt = torch.from_numpy(np.transpose(w, (3, 2, 0, 1)))
+
+    for asym in (True, False):
+        mod = Downsample2D(8, asymmetric=asym)
+        params = mod.init(jax.random.PRNGKey(0), jnp.asarray(x))["params"]
+        params = {"conv": {"kernel": jnp.asarray(w),
+                           "bias": jnp.zeros(8)}}
+        got = np.asarray(mod.apply({"params": params}, jnp.asarray(x)))
+
+        if asym:
+            ref = F.conv2d(F.pad(xt, (0, 1, 0, 1)), wt, stride=2)
+        else:
+            ref = F.conv2d(xt, wt, stride=2, padding=1)
+        ref = np.transpose(ref.numpy(), (0, 2, 3, 1))
+        assert got.shape == ref.shape, (asym, got.shape, ref.shape)
+        np.testing.assert_allclose(got, ref, atol=1e-4)
