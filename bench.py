@@ -21,7 +21,8 @@ and MXU triangular-matmul cumulative ops (ops/scan.py). Honest (LICM-safe)
 history on v5e at this workload: hash-grid (tcnn parity) ≈0.01 → MLP bf16
 0.28 → unified CP grid 1.29 → fused field kernel 2.17 → sort-merge +
 matmul-cumsum/cumprod + amortized dispatch 3.16 → proposal-style coarse
-field + split-lane-halves kernel 3.70 M rays/s.
+field + split-lane-halves kernel 3.70 → Pallas bitonic-merge kernel
+3.90 M rays/s.
 """
 from __future__ import annotations
 

@@ -134,3 +134,28 @@ def test_cumprod_logspace_tpu_form_is_inf_free_at_alpha_one():
     assert np.isfinite(np.asarray(got)).all()
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-3, atol=1e-9)
+
+
+def test_bitonic_merge128_matches_sort(rng):
+    """Pallas bitonic-merge kernel (interpret mode on CPU) == sorted concat
+    for the production 64+64 split and an uneven 48+80 split."""
+    from gbnerf_tpu.ops.resample import _merge128
+
+    for A, B in ((64, 64), (48, 80)):
+        a = np.sort(rng.random((37, A)).astype(np.float32), axis=-1)
+        b = np.sort(rng.random((37, B)).astype(np.float32), axis=-1)
+        got = np.asarray(_merge128(jnp.asarray(a), jnp.asarray(b)))
+        ref = np.sort(np.concatenate([a, b], axis=-1), axis=-1)
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_bitonic_merge128_with_ties(rng):
+    """Duplicate values across the two halves must still merge exactly."""
+    from gbnerf_tpu.ops.resample import _merge128
+
+    vals = rng.integers(0, 10, size=(21, 128)).astype(np.float32)
+    a = np.sort(vals[:, :64], axis=-1)
+    b = np.sort(vals[:, 64:], axis=-1)
+    got = np.asarray(_merge128(jnp.asarray(a), jnp.asarray(b)))
+    ref = np.sort(np.concatenate([a, b], axis=-1), axis=-1)
+    np.testing.assert_array_equal(got, ref)
