@@ -124,13 +124,19 @@ def save_video(frames: np.ndarray, path: str, fps: int = 30) -> str:
         return gif
 
 
-def dump_eval_images(maps: dict, outdir: str, *, gt: Optional[np.ndarray] = None):
-    """Per-frame rgb/disp PNG dumps (reference eval_images_{i}/ layout)."""
+def dump_eval_images(maps: dict, outdir: str, *, gt: Optional[np.ndarray] = None,
+                     lpips_fn=None):
+    """Per-frame rgb/disp PNG dumps (reference eval_images_{i}/ layout).
+
+    Returns (mean_psnr, mean_lpips) over ground-truth views; each is None
+    when not computable. lpips_fn: optional utils.lpips.LPIPS instance —
+    the paper's quality metrics are PSNR + LPIPS (SURVEY.md §6).
+    """
     import imageio.v2 as imageio
 
     os.makedirs(os.path.join(outdir, "rgb"), exist_ok=True)
     os.makedirs(os.path.join(outdir, "disp"), exist_ok=True)
-    psnrs = []
+    psnrs, lpipss = [], []
     for k in range(len(maps["rgb"])):
         imageio.imwrite(os.path.join(outdir, "rgb", f"{k:03d}.png"),
                         to8b(maps["rgb"][k]))
@@ -140,4 +146,11 @@ def dump_eval_images(maps: dict, outdir: str, *, gt: Optional[np.ndarray] = None
         if gt is not None:
             mse = float(np.mean((maps["rgb"][k] - gt[k]) ** 2))
             psnrs.append(-10.0 * np.log10(max(mse, 1e-10)))
-    return float(np.mean(psnrs)) if psnrs else None
+            if lpips_fn is not None:
+                import jax.numpy as jnp
+
+                lpipss.append(float(np.mean(np.asarray(lpips_fn(
+                    jnp.asarray(maps["rgb"][k])[None],
+                    jnp.asarray(gt[k])[None])))))
+    return (float(np.mean(psnrs)) if psnrs else None,
+            float(np.mean(lpipss)) if lpipss else None)

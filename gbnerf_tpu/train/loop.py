@@ -314,10 +314,13 @@ def train(cfg: Config, *, guidance_fn=None,
                                     scene.hwf,
                                     render_factor=max(t.render_factor, 1))
             gt = scene.images_test if t.render_factor <= 1 else None
-            eval_psnr = dump_eval_images(
-                maps, os.path.join(expdir, f"eval_images_{i + 1}"), gt=gt)
+            eval_psnr, eval_lpips = dump_eval_images(
+                maps, os.path.join(expdir, f"eval_images_{i + 1}"), gt=gt,
+                lpips_fn=lpips_fn)
             if eval_psnr is not None:
-                print(f"[{i + 1}/{t.N_iters}] eval_psnr={eval_psnr:.2f} "
+                lp = (f" lpips={eval_lpips:.4f}"
+                      if eval_lpips is not None else "")
+                print(f"[{i + 1}/{t.N_iters}] eval_psnr={eval_psnr:.2f}{lp} "
                       f"(held-out, {len(scene.poses_test)} views)")
 
     ckpt.save(int(state.step), jax.device_get(state))

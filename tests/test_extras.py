@@ -114,3 +114,27 @@ def test_cp_tv_loss(key):
     assert float(cp_tv_loss(noisy)) > float(cp_tv_loss(smooth))
     # no lines → zero
     assert float(cp_tv_loss({"mlp": {"kernel": jnp.ones((4, 4))}})) == 0.0
+
+
+def test_dump_eval_images_reports_psnr_and_lpips(tmp_path, rng):
+    """dump_eval_images returns (psnr, lpips); lpips only when a metric fn
+    is supplied (paper metrics are PSNR + LPIPS, SURVEY.md §6)."""
+    from gbnerf_tpu.train.eval import dump_eval_images
+
+    maps = {"rgb": rng.random((2, 8, 12, 3)).astype(np.float32),
+            "disp": rng.random((2, 8, 12)).astype(np.float32)}
+    gt = rng.random((2, 8, 12, 3)).astype(np.float32)
+
+    psnr, lp = dump_eval_images(maps, str(tmp_path / "e1"), gt=gt)
+    assert psnr is not None and lp is None
+
+    def fake_lpips(a, b):
+        return jnp.mean((a - b) ** 2, axis=(1, 2, 3))
+
+    psnr2, lp2 = dump_eval_images(maps, str(tmp_path / "e2"), gt=gt,
+                                  lpips_fn=fake_lpips)
+    assert abs(psnr2 - psnr) < 1e-6
+    assert lp2 is not None and lp2 > 0
+
+    psnr3, lp3 = dump_eval_images(maps, str(tmp_path / "e3"))
+    assert psnr3 is None and lp3 is None
