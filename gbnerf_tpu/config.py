@@ -131,6 +131,12 @@ class TrainConfig:
     inpainted_depth_lambda: float = 0.1   # run.py:1483 0.1·mse(disp2, target_inp)
     lpips: bool = False
     lpips_weight: float = 0.01
+    # Path to converted VGG16 weights (npz, utils/lpips.load_vgg16_npz).
+    # Without it LPIPS runs on RANDOM features — fine as a training-loss
+    # regularizer shape-check, meaningless as a reported quality metric
+    # (a loud warning is printed). When set, held-out eval reports LPIPS
+    # even if the lpips patch loss itself is off.
+    lpips_weights: Optional[str] = None
     patch_len: int = 64
     n_patches: int = 4
     gradient_clip: bool = False    # pwclip on rendered tensors (run.py:56-78)
@@ -231,6 +237,7 @@ _FLAG_MAP = {
     "lrate": ("train", "lrate"), "lrate_decay": ("train", "lrate_decay"),
     "sigma_loss_weight": ("train", "sigma_loss_weight"),
     "lpips": ("train", "lpips"), "patch_len": ("train", "patch_len"),
+    "lpips_weights": ("train", "lpips_weights"),
     "gradient_clip": ("train", "gradient_clip"),
     "i_print": ("train", "i_print"), "i_weights": ("train", "i_weights"),
     "i_video": ("train", "i_video"), "i_evaluate": ("train", "i_evaluate"),
@@ -278,13 +285,15 @@ def load_reference_config(path: str, base: Optional[Config] = None) -> Config:
             section, fname = _FLAG_MAP[key]
             ftype = type(getattr(getattr(cfg, section), fname))
             val = _coerce(value, ftype)
-            if fname == "guidance" and isinstance(val, str):
+            if isinstance(val, str) and val in ("None", "none"):
+                val = None  # explicit reset to the dataclass default/None
+            elif fname == "guidance" and isinstance(val, str):
                 val = tuple(val.split(","))
-            elif (fname in ("cp_resolutions", "cp_resolutions_coarse")
-                  and isinstance(val, str)):
-                val = tuple(int(x) for x in val.split(","))
-            elif fname == "cp_resolutions_coarse" and isinstance(val, int):
-                val = (val,)  # single-resolution coarse grid
+            elif fname in ("cp_resolutions", "cp_resolutions_coarse"):
+                if isinstance(val, str):
+                    val = tuple(int(x) for x in val.split(","))
+                elif isinstance(val, (int, float)):
+                    val = (int(val),)  # single-resolution coarse grid
             sections[section][fname] = val
     return Config(**{
         s: dataclasses.replace(getattr(cfg, s), **kv) if kv else getattr(cfg, s)

@@ -93,12 +93,21 @@ def sorted_uniform(rng, shape, dtype=jnp.float32):
     """Draw per-row SORTED uniforms directly (no sort): order statistics via
     normalized cumulative sums of exponential gaps — u_(i) = S_i / S_{n+1},
     S_k = Σ_{j≤k} E_j, E_j ~ Exp(1). Distributionally identical to sorting
-    iid U(0,1) draws; keeps the whole fine-sampling path sort-free."""
-    n = shape[-1]
-    from .scan import cumsum_last
+    iid U(0,1) draws; keeps the whole fine-sampling path sort-free.
 
+    Deliberately uses jnp.cumsum, NOT the faster MXU triangular-matmul scan
+    (ops/scan.py): sequential fp accumulation of non-negative terms is
+    guaranteed monotone, while the matmul form computes each prefix with an
+    independent reduction tree whose ~ulp(Σ) rounding can invert adjacent
+    prefixes when a gap is tiny — and downstream, sortedness of these u is
+    the precondition of the bitonic merge kernel (_merge128). The CDF
+    cumsum in sample_pdf_fast has no such requirement (z(u) stays monotone
+    in u through the clamp-sum), so it keeps the fast path. (Found in
+    review; worth ~3% bench.)
+    """
+    n = shape[-1]
     e = jax.random.exponential(rng, shape[:-1] + (n + 1,), dtype)
-    s = cumsum_last(e)
+    s = jnp.cumsum(e, axis=-1)
     return s[..., :-1] / s[..., -1:]
 
 

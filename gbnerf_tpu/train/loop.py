@@ -131,15 +131,20 @@ def render_only(cfg: Config) -> dict:
     state = ckpt.restore(state)
     ckpt.close()
 
+    alpha = load_alpha_model(cfg)
     render_fn = make_render_fn(cfg, coarse, fine, scene.near, scene.far,
-                               alpha=load_alpha_model(cfg))
+                               alpha=alpha)
+    # Frozen alpha params ride under params["alpha"] as jit ARGUMENTS
+    # (design invariant: never closure-bake params into executables).
+    eparams = (dict(state.params, alpha=alpha[1]) if alpha is not None
+               else state.params)
     outdir = os.path.join(expdir, f"renderonly_{step:06d}")
     rf = max(t.render_factor, 1)
     if len(scene.poses_test):
-        maps = render_pose_path(render_fn, state.params, scene.poses_test,
+        maps = render_pose_path(render_fn, eparams, scene.poses_test,
                                 scene.hwf, render_factor=rf)
         dump_eval_images(maps, os.path.join(outdir, "test"))
-    maps = render_pose_path(render_fn, state.params, scene.render_poses,
+    maps = render_pose_path(render_fn, eparams, scene.render_poses,
                             scene.hwf, render_factor=rf)
     save_video(maps["rgb"], os.path.join(outdir, "spiral_rgb.mp4"))
     print(f"render_only: wrote {outdir}")
@@ -241,13 +246,25 @@ def train(cfg: Config, *, guidance_fn=None,
               "weightless runs).")
 
     lpips_fn = None
-    if t.lpips:
-        from ..utils.lpips import LPIPS
+    if t.lpips or t.lpips_weights:
+        from ..utils.lpips import LPIPS, load_vgg16_npz
 
         rng, k_lp = jax.random.split(rng)
-        lpips_fn = LPIPS(k_lp)
+        weights = load_vgg16_npz(t.lpips_weights) if t.lpips_weights else None
+        lpips_fn = LPIPS(k_lp, weights=weights)
+        if weights is None:
+            print("[lpips] WARNING: no lpips_weights given — VGG features "
+                  "are RANDOM. Usable as a patch-loss regularizer, but "
+                  "reported LPIPS values are NOT comparable to paper "
+                  "numbers.")
 
     alpha = load_alpha_model(cfg)
+    # Frozen alpha params ride as jit ARGUMENTS (design invariant: never
+    # closure-bake params into executables); eval merges them under
+    # params["alpha"].
+    aparams = jax.device_put(alpha[1]) if alpha is not None else None
+    def eval_params(p):
+        return dict(p, alpha=aparams) if alpha is not None else p
     render_fn = make_render_fn(cfg, coarse, fine, scene.near, scene.far,
                                alpha=alpha)
     # Multi-chip: shard the per-iteration ray work over a 1D data mesh
@@ -263,14 +280,14 @@ def train(cfg: Config, *, guidance_fn=None,
         step_fn = make_train_step_stage1(cfg, coarse, fine, scene.near,
                                          scene.far, alpha=alpha, mesh=mesh)
         def do_step(state, key):
-            return step_fn(state, banks_dev, key)
+            return step_fn(state, banks_dev, key, aparams)
     else:
         step_fn = make_train_step_stage2(
             cfg, coarse, fine, scene.near, scene.far, scene.hwf,
             guidance_fn=guidance_fn, lpips_fn=lpips_fn, alpha=alpha,
             mesh=mesh)
         def do_step(state, key):
-            return step_fn(state, scene_dev, banks_dev, key, gparams)
+            return step_fn(state, scene_dev, banks_dev, key, gparams, aparams)
 
     # Optional EMA of params (capability parity with the reference's dead
     # stable-dreamfusion trainer, SURVEY.md §2.2 pgc.py).
@@ -302,7 +319,7 @@ def train(cfg: Config, *, guidance_fn=None,
         if (i + 1) % t.i_weights == 0:
             ckpt.save(i + 1, jax.device_get(state))
         if (i + 1) % t.i_video == 0 and len(scene.render_poses):
-            maps = render_pose_path(render_fn, state.params,
+            maps = render_pose_path(render_fn, eval_params(state.params),
                                     scene.render_poses, scene.hwf,
                                     render_factor=max(t.render_factor, 1))
             save_video(maps["rgb"], os.path.join(
@@ -310,13 +327,16 @@ def train(cfg: Config, *, guidance_fn=None,
             d = maps["disp"] / max(maps["disp"].max(), 1e-8)
             save_video(d, os.path.join(expdir, f"spiral_{i + 1:06d}_disp.mp4"))
         if (i + 1) % t.i_evaluate == 0 and len(scene.poses_test):
-            maps = render_pose_path(render_fn, state.params, scene.poses_test,
+            maps = render_pose_path(render_fn, eval_params(state.params),
+                                    scene.poses_test,
                                     scene.hwf,
                                     render_factor=max(t.render_factor, 1))
             gt = scene.images_test if t.render_factor <= 1 else None
+            # eval LPIPS only with REAL VGG weights — random-feature
+            # distances would masquerade as a paper metric.
             eval_psnr, eval_lpips = dump_eval_images(
                 maps, os.path.join(expdir, f"eval_images_{i + 1}"), gt=gt,
-                lpips_fn=lpips_fn)
+                lpips_fn=lpips_fn if t.lpips_weights else None)
             if eval_psnr is not None:
                 lp = (f" lpips={eval_lpips:.4f}"
                       if eval_lpips is not None else "")

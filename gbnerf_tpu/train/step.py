@@ -49,7 +49,13 @@ def make_render_fn(cfg: Config, coarse_model, fine_model, near: float, far: floa
 
     alpha: optional (model, params) pair of a FROZEN pretrained field that
     supplies σ (NeRF_RGB / --alpha_model_path parity, run.py:2015-2044);
-    when given, only the color output of coarse/fine trains.
+    when given, only the color output of coarse/fine trains. The params
+    element of the pair is IGNORED at render time — the frozen σ params
+    must arrive under ``params["alpha"]`` so jitted callers thread them as
+    arguments, never closure constants (design invariant: the SD UNet
+    closure once baked 3.6 GB into an executable; a hash-grid alpha model
+    would bake tens of MB into all three step executables). Use
+    ``with_alpha_params`` to merge them in at call sites.
     """
     r = cfg.render
 
@@ -66,7 +72,7 @@ def make_render_fn(cfg: Config, coarse_model, fine_model, near: float, far: floa
         fine_fn = (make_field_fn(fine_model, params["fine"])
                    if fine_model is not None else None)
         if alpha is not None:
-            alpha_fn = make_field_fn(alpha[0], alpha[1])
+            alpha_fn = make_field_fn(alpha[0], params["alpha"])
             coarse_fn = make_frozen_sigma_field_fn(coarse_fn, alpha_fn)
             fine_fn = (make_frozen_sigma_field_fn(fine_fn, alpha_fn)
                        if fine_fn is not None else None)
@@ -197,10 +203,14 @@ def make_train_step_stage1(cfg: Config, coarse_model, fine_model,
     t, d = cfg.train, cfg.data
     constrain_rays = _make_ray_constraint(mesh, mesh_axis)
 
-    def loss_fn(params, batches, rng):
+    def loss_fn(params, batches, rng, aparams=None):
+        # rparams: render-time params incl. the frozen alpha tree (threaded
+        # as a jit ARGUMENT, never closure-baked); `params` stays the
+        # trainable tree (grads, TV regularizer).
+        rparams = dict(params, alpha=aparams) if alpha is not None else params
         k1, k2, k3 = jax.random.split(rng, 3)
         clf = batches["clf"]
-        out = render(params, clf["o"], clf["d"], k1, train=True)
+        out = render(rparams, clf["o"], clf["d"], k1, train=True)
         img_loss = img2mse(out.rgb, clf["target"])
         loss = img_loss
         if out.rgb0 is not None:
@@ -209,13 +219,13 @@ def make_train_step_stage1(cfg: Config, coarse_model, fine_model,
         inp = batches.get("inp")
         depth_loss = jnp.zeros(())
         if inp is not None:
-            out_i = render(params, inp["o"], inp["d"], k2, train=True)
+            out_i = render(rparams, inp["o"], inp["d"], k2, train=True)
             depth_loss = img2mse(out_i.disp, inp["target"][:, 0])
             loss = loss + d.depth_lambda * depth_loss
 
         dep = batches.get("depth")
         if dep is not None:
-            out_d = render(params, dep["o"], dep["d"], k3, train=True)
+            out_d = render(rparams, dep["o"], dep["d"], k3, train=True)
             col_loss = weighted_mse(out_d.depth, dep["target"][:, 0],
                                     dep["target"][:, 1])
             loss = loss + d.sdepth_lambda * col_loss
@@ -229,7 +239,7 @@ def make_train_step_stage1(cfg: Config, coarse_model, fine_model,
                       "psnr": mse2psnr(img_loss)}
 
     @jax.jit
-    def step(state: TrainState, banks_dev, rng):
+    def step(state: TrainState, banks_dev, rng, aparams=None):
         k_batch, k_loss = jax.random.split(rng)
         ks = jax.random.split(k_batch, 3)
         batches = constrain_rays({
@@ -239,7 +249,7 @@ def make_train_step_stage1(cfg: Config, coarse_model, fine_model,
                       if banks_dev.get("depth") is not None else None),
         })
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batches, k_loss)
+            state.params, batches, k_loss, aparams)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = jax.tree_util.tree_map(
             lambda p, u: p + u, state.params, updates)
@@ -284,24 +294,29 @@ def make_train_step_stage2(cfg: Config, coarse_model, fine_model,
     accepts_gparams = (guidance_fn is not None and
                        "gparams" in inspect.signature(guidance_fn).parameters)
 
-    def loss_fn(params, batch: Stage2Batch, step_i, rng, gparams=None):
+    def loss_fn(params, batch: Stage2Batch, step_i, rng, gparams=None,
+                aparams=None):
+        # rparams: render-time params incl. the frozen alpha tree (threaded
+        # as a jit ARGUMENT, never closure-baked); `params` stays the
+        # trainable tree (grads, TV regularizer).
+        rparams = dict(params, alpha=aparams) if alpha is not None else params
         k_m, k_c, k_i, k_d, k_n, k_g = jax.random.split(rng, 6)
 
         # Unmasked RGB supervision (render #3 in the reference loop).
-        out2 = render(params, batch.clf["o"], batch.clf["d"], k_c, train=True)
+        out2 = render(rparams, batch.clf["o"], batch.clf["d"], k_c, train=True)
         img_loss = img2mse(out2.rgb, batch.clf["target"])
         loss = img_loss
         if out2.rgb0 is not None:
             loss = loss + img2mse(out2.rgb0, batch.clf["target"])
 
         # Inpainted-depth (disparity) supervision (render #4).
-        out_i = render(params, batch.inp["o"], batch.inp["d"], k_i, train=True)
+        out_i = render(rparams, batch.inp["o"], batch.inp["d"], k_i, train=True)
         depth_loss = img2mse(out_i.disp, batch.inp["target"][:, 0])
         loss = loss + d.depth_lambda * depth_loss
 
         # COLMAP sparse depth (sampled by the reference loop; weighted MSE).
         if batch.depth is not None and d.colmap_depth:
-            out_d = render(params, batch.depth["o"], batch.depth["d"], k_d,
+            out_d = render(rparams, batch.depth["o"], batch.depth["d"], k_d,
                            train=True)
             loss = loss + d.sdepth_lambda * weighted_mse(
                 out_d.depth, batch.depth["target"][:, 0],
@@ -312,7 +327,7 @@ def make_train_step_stage2(cfg: Config, coarse_model, fine_model,
             # Render the masked region and composite into the GT view
             # (renders #1-#2 + combin_rgb, run.py:1371-1398).
             ro, rd = _masked_rays(H, W, focal, batch.pose, batch.coords)
-            out_m = render(params, ro, rd, k_m, train=True)
+            out_m = render(rparams, ro, rd, k_m, train=True)
             rgb_raw = out_m.rgb
             if t.gradient_clip:
                 from .losses import pwclip
@@ -327,7 +342,7 @@ def make_train_step_stage2(cfg: Config, coarse_model, fine_model,
             normal_map = None
             if g.is_normal_guidance and guidance_fn is not None:
                 ro_n, rd_n = _full_view_rays(H_r, W_r, focal_r, batch.pose)
-                out_n = render(params, ro_n.reshape(-1, 3), rd_n.reshape(-1, 3),
+                out_n = render(rparams, ro_n.reshape(-1, 3), rd_n.reshape(-1, 3),
                                k_n, train=True)
                 depth_n = out_n.depth.reshape(H_r, W_r)
                 pts = depth2xyz(depth_n, K_r)
@@ -355,7 +370,7 @@ def make_train_step_stage2(cfg: Config, coarse_model, fine_model,
                 # (reference render_path_4view, run.py:1894-1930).
                 def render_view(pose):
                     ro, rd = _full_view_rays(H_r, W_r, focal_r, pose)
-                    o = render(params, ro.reshape(-1, 3), rd.reshape(-1, 3),
+                    o = render(rparams, ro.reshape(-1, 3), rd.reshape(-1, 3),
                                None, train=False)
                     return o.rgb.reshape(H_r, W_r, 3)
 
@@ -398,13 +413,14 @@ def make_train_step_stage2(cfg: Config, coarse_model, fine_model,
         )
 
     @jax.jit
-    def step(state: TrainState, scene_dev, banks_dev, rng, gparams=None):
+    def step(state: TrainState, scene_dev, banks_dev, rng, gparams=None,
+             aparams=None):
         k_sel, k_loss = jax.random.split(rng)
         batch = _shard_batch(select_stage2_view(
             scene_dev, banks_dev, k_sel, t.N_rand,
             n_colla=4 if (g.is_colla_guidance and guidance_fn) else 0))
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, state.step, k_loss, gparams)
+            state.params, batch, state.step, k_loss, gparams, aparams)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = jax.tree_util.tree_map(
             lambda p, u: p + u, state.params, updates)

@@ -40,3 +40,26 @@ def test_config_hashable_and_roundtrip(tmp_path):
     p = os.path.join(tmp_path, "config.txt")
     save_config(cfg, p)
     assert os.path.exists(p)
+
+
+def test_reference_config_none_reset_and_coarse_coercion(tmp_path):
+    """`cp_resolutions_coarse = None` resets cleanly; a bare int/float
+    becomes a 1-tuple; lpips_weights maps through (review findings)."""
+    from gbnerf_tpu.config import load_reference_config
+
+    p = tmp_path / "c.txt"
+    p.write_text("cp_resolutions_coarse = None\n"
+                 "cp_rank_coarse = None\n"
+                 "lpips_weights = /some/vgg.npz\n")
+    cfg = load_reference_config(str(p))
+    assert cfg.field.cp_resolutions_coarse is None
+    assert cfg.field.cp_rank_coarse is None
+    assert cfg.train.lpips_weights == "/some/vgg.npz"
+
+    p.write_text("cp_resolutions_coarse = 65\n")
+    cfg = load_reference_config(str(p))
+    assert cfg.field.cp_resolutions_coarse == (65,)
+
+    p.write_text("cp_resolutions_coarse = 17,33,65\n")
+    cfg = load_reference_config(str(p))
+    assert cfg.field.cp_resolutions_coarse == (17, 33, 65)

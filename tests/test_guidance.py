@@ -226,7 +226,6 @@ def test_downsample_padding_torch_oracle():
 
     for asym in (True, False):
         mod = Downsample2D(8, asymmetric=asym)
-        params = mod.init(jax.random.PRNGKey(0), jnp.asarray(x))["params"]
         params = {"conv": {"kernel": jnp.asarray(w),
                            "bias": jnp.zeros(8)}}
         got = np.asarray(mod.apply({"params": params}, jnp.asarray(x)))

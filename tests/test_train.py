@@ -126,3 +126,30 @@ def test_checkpoint_roundtrip(tmp_path, setup):
     leaves_b = jax.tree_util.tree_leaves(restored.params)
     for a, b in zip(leaves_a, leaves_b):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_stage1_step_with_frozen_alpha_model(setup):
+    """--alpha_model_path path: frozen sigma params ride as a jit ARGUMENT
+    (params["alpha"]), the step runs finite, and different alpha params
+    change the loss (the frozen field is actually consulted)."""
+    cfg, scene, banks, state, coarse, fine = setup
+    amodel = fine if fine is not None else coarse
+    _, _, afine = create_train_state(cfg, jax.random.PRNGKey(7))
+    # two different frozen-sigma parameter sets
+    s_a, _, _ = create_train_state(cfg, jax.random.PRNGKey(8))
+    s_b, _, _ = create_train_state(cfg, jax.random.PRNGKey(9))
+    ap_a = s_a.params["fine" if fine is not None else "coarse"]
+    ap_b = s_b.params["fine" if fine is not None else "coarse"]
+
+    step = make_train_step_stage1(cfg, coarse, fine, scene.near, scene.far,
+                                  alpha=(amodel, ap_a))
+    banks_dev = banks_to_device(banks)
+    st1, m1 = step(state, banks_dev, jax.random.PRNGKey(3), ap_a)
+    assert np.isfinite(float(m1["loss"]))
+    _, m2 = step(state, banks_dev, jax.random.PRNGKey(3), ap_b)
+    assert float(m1["loss"]) != float(m2["loss"])  # alpha params are live args
+    # trainable params updated
+    da = max(float(jnp.abs(a - b).max()) for a, b in zip(
+        jax.tree_util.tree_leaves(state.params),
+        jax.tree_util.tree_leaves(st1.params)))
+    assert da > 0
