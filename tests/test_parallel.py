@@ -230,3 +230,53 @@ def test_stage1_step_sharded_matches_unsharded():
     for a, b in zip(jax.tree_util.tree_leaves(s0.params),
                     jax.tree_util.tree_leaves(s1.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_tp_sharded_guidance_step_matches_unsharded():
+    """Tensor-parallel guidance (parallel/tp.py): conv/dense kernels
+    out-channel-sharded over a `model` mesh axis; the tiny-SD score-
+    distillation step jits, runs, matches the replicated result, and the
+    params are actually distributed across devices."""
+    from gbnerf_tpu.config import GuidanceConfig
+    from gbnerf_tpu.guidance.stable import build_sd_modules, sd_train_step
+    from gbnerf_tpu.guidance.unet import UNetConfig
+    from gbnerf_tpu.guidance.vae import VAEConfig
+    from gbnerf_tpu.guidance.text import CLIPTextConfig
+    from gbnerf_tpu.parallel.tp import (shard_params_tp,
+                                        sharded_bytes_per_device)
+
+    gcfg = GuidanceConfig(sd_tiny=True)
+    mods = build_sd_modules(gcfg, jax.random.PRNGKey(0),
+                            unet_config=UNetConfig.tiny(),
+                            vae_config=VAEConfig.tiny(),
+                            text_config=CLIPTextConfig.tiny(),
+                            latent_size=64, dtype=jnp.float32)
+    H = W = 64
+    rgb = jax.random.uniform(jax.random.PRNGKey(1), (H, W, 3))
+    m = (jax.random.uniform(jax.random.PRNGKey(2), (H, W)) > 0.6).astype(
+        jnp.float32)
+
+    def loss(rgb_in, up, vp):
+        def f(r):
+            return sd_train_step(mods, gcfg, 700, r, m,
+                                 jax.random.PRNGKey(5),
+                                 embeds=mods.embeds_rgb, guidance_scale=7.5,
+                                 mode="csd", unet_params=up, vae_params=vp)
+        l, g = jax.value_and_grad(f)(rgb_in)
+        return l, g
+
+    l0, g0 = jax.jit(loss)(rgb, mods.unet_params, mods.vae_params)
+
+    mesh = Mesh(np.asarray(jax.devices()[:2]), ("model",))
+    up = shard_params_tp(mods.unet_params, mesh)
+    vp = shard_params_tp(mods.vae_params, mesh)
+    total = sum(x.size * x.dtype.itemsize
+                for x in jax.tree_util.tree_leaves(mods.unet_params))
+    per_dev = sharded_bytes_per_device(up, mesh)
+    assert per_dev < 0.9 * total, (per_dev, total)  # actually distributed
+
+    l1, g1 = jax.jit(loss)(rgb, up, vp)
+    assert np.isfinite(float(l1))
+    np.testing.assert_allclose(float(l1), float(l0), rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                               rtol=1e-3, atol=2e-5)
