@@ -44,6 +44,28 @@ def parse_overrides(cfg, pairs):
     })
 
 
+def enable_compilation_cache():
+    """Persistent XLA compilation cache: TPU compiles through the tunneled
+    runtime take 1-5 min (10+ for the SD stack); caching them on disk makes
+    every repeat run — resumes, render_only, eval sweeps — skip straight to
+    execution. Overridable via JAX_COMPILATION_CACHE_DIR."""
+    import os
+
+    import jax
+
+    if os.environ.get("GBNERF_NO_COMPILE_CACHE"):
+        return
+    cache = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "gbnerf_xla"))
+    try:
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception as e:  # cache is an optimization, never fatal
+        print(f"[cache] compilation cache disabled: {e}")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__,
                                 formatter_class=argparse.RawDescriptionHelpFormatter)
@@ -65,6 +87,8 @@ def main(argv=None):
     import os
     if not cfg.data.datadir or not os.path.isdir(cfg.data.datadir):
         raise SystemExit(f"datadir does not exist: {cfg.data.datadir!r}")
+
+    enable_compilation_cache()
 
     from gbnerf_tpu.train.loop import train, render_only
     if cfg.train.render_only:

@@ -32,6 +32,10 @@ def main():
                     help="tiny random SD stack (smoke testing)")
     args = ap.parse_args()
 
+    from run import enable_compilation_cache
+
+    enable_compilation_cache()
+
     import jax
     import jax.numpy as jnp
     from gbnerf_tpu.config import GuidanceConfig
