@@ -144,6 +144,11 @@ class TrainConfig:
     # TV+L1 regularization of CP-grid factor lines (TensoRF-style);
     # fights sparse-view floaters. 0 disables.
     tv_loss_weight: float = 1e-3
+    # Failure recovery (beyond reference — its only recovery is manual
+    # restart + ckpt reload, SURVEY.md §5): when the loss goes non-finite,
+    # restore the latest checkpoint and re-fork the rng instead of
+    # corrupting the params. 0 disables; N = max restores before aborting.
+    nan_restarts: int = 3
     # cadence
     i_print: int = 100
     i_weights: int = 2000
@@ -234,6 +239,8 @@ _FLAG_MAP = {
     "text_normal": ("guidance", "prompt_normal"),
     # train
     "N_iters": ("train", "N_iters"), "N_rand": ("train", "N_rand"),
+    "tv_loss_weight": ("train", "tv_loss_weight"),
+    "nan_restarts": ("train", "nan_restarts"),
     "lrate": ("train", "lrate"), "lrate_decay": ("train", "lrate_decay"),
     "sigma_loss_weight": ("train", "sigma_loss_weight"),
     "lpips": ("train", "lpips"), "patch_len": ("train", "patch_len"),

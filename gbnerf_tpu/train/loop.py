@@ -300,9 +300,34 @@ def train(cfg: Config, *, guidance_fn=None,
 
     t0 = time.time()
     history = []
+    nan_restores = 0
     for i in range(start, t.N_iters):
         rng, key = jax.random.split(rng)
         state, metrics = do_step(state, key)
+
+        # Failure recovery (beyond reference, SURVEY.md §5): a non-finite
+        # loss would poison params for every later step — restore the
+        # latest checkpoint and re-fork the rng stream instead. Checked on
+        # the i_print cadence only (a float() fetch per step would stall
+        # the async dispatch pipeline through the tunnel).
+        if (t.nan_restarts and (i + 1) % t.i_print == 0
+                and not np.isfinite(float(metrics["loss"]))):
+            nan_restores += 1
+            if nan_restores > t.nan_restarts:
+                raise SystemExit(
+                    f"loss non-finite after {t.nan_restarts} checkpoint "
+                    f"restores — aborting at iter {i + 1}")
+            prev = ckpt.latest_step()
+            print(f"[recover] non-finite loss at iter {i + 1}; restoring "
+                  f"ckpt {prev if prev is not None else '(init)'} "
+                  f"({nan_restores}/{t.nan_restarts})")
+            if prev is not None:
+                state = ckpt.restore(state)
+            else:
+                state, _, _ = create_train_state(cfg, jax.random.PRNGKey(
+                    t.seed + nan_restores))
+            rng = jax.random.fold_in(rng, 1000 + nan_restores)
+            continue
         if ema_update is not None:
             ema_params = ema_update(ema_params, state.params)
 

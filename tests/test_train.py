@@ -153,3 +153,39 @@ def test_stage1_step_with_frozen_alpha_model(setup):
         jax.tree_util.tree_leaves(state.params),
         jax.tree_util.tree_leaves(st1.params)))
     assert da > 0
+
+
+def test_nan_recovery_restores_then_aborts(tmp_path):
+    """Failure recovery (beyond reference): non-finite loss triggers a
+    checkpoint/init restore with a re-forked rng; persistently-NaN training
+    aborts cleanly after train.nan_restarts restores."""
+    from gbnerf_tpu.train.loop import train
+
+    cfg = tiny_config(N_iters=20, i_print=2, i_weights=1000, i_video=1000,
+                      i_evaluate=1000, i_testset=1000,
+                      basedir=str(tmp_path), expname="nanrun",
+                      nan_restarts=2)
+    cfg = dataclasses.replace(
+        cfg, guidance=dataclasses.replace(cfg.guidance,
+                                          is_rgb_guidance=True,
+                                          is_normal_guidance=False))
+    scene = synthetic_scene()
+
+    def poison_guidance(step_i, combin, normal_map, mask, rng, **kw):
+        return jnp.float32(jnp.nan) * jnp.mean(combin)
+
+    with pytest.raises(SystemExit, match="non-finite"):
+        train(cfg, guidance_fn=poison_guidance, scene=scene)
+
+
+def test_nan_recovery_disabled_trains_through(tmp_path):
+    """nan_restarts=0 disables the recovery branch entirely."""
+    from gbnerf_tpu.train.loop import train
+
+    cfg = tiny_config(N_iters=6, i_print=2, i_weights=1000, i_video=1000,
+                      i_evaluate=1000, i_testset=1000,
+                      basedir=str(tmp_path), expname="okrun",
+                      nan_restarts=0)
+    scene = synthetic_scene()
+    out = train(cfg, scene=scene)
+    assert np.isfinite(float(out["history"][-1][1]["loss"]))
