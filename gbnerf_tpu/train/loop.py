@@ -7,6 +7,7 @@ steps; this loop only feeds rng keys and handles cadenced IO.
 """
 from __future__ import annotations
 
+import json
 import os
 import time
 from typing import Callable, Optional
@@ -336,6 +337,10 @@ def train(cfg: Config, *, guidance_fn=None,
             m["iters_per_sec"] = t.i_print / max(time.time() - t0, 1e-9)
             t0 = time.time()
             history.append((i + 1, m))
+            # Observability beyond the reference's print-only loop
+            # (SURVEY.md §5): machine-readable metrics stream per run.
+            with open(os.path.join(expdir, "metrics.jsonl"), "a") as fh:
+                fh.write(json.dumps({"iter": i + 1, **m}) + "\n")
             if log_fn:
                 log_fn(i + 1, m)
             else:
