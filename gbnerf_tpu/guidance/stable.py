@@ -280,8 +280,14 @@ def make_guidance_fn(mods: SDModules, gcfg: GuidanceConfig):
                 mods, gcfg, step_i, rgbs4, masks4, k_c,
                 unet_params=up, vae_params=vp, embeds=e_rgb)
         if gcfg.is_normal_guidance and normal_map is not None:
+            # The normal modality's timestep anneal restarts when it
+            # switches on: t ∝ √((i − normal_start)/20000), reference
+            # sd_utils.py:267 — so the prior begins at MAX noise at
+            # i = normal_start_iter, not partway down the RGB schedule.
+            n_step = jnp.maximum(
+                jnp.asarray(step_i) - gcfg.normal_start_iter, 0)
             nloss = sd_train_step(
-                mods, gcfg, step_i, normal_map, mask, k_n,
+                mods, gcfg, n_step, normal_map, mask, k_n,
                 embeds=e_nrm, guidance_scale=gcfg.normal_guidance_scale,
                 unet_params=up, vae_params=vp)
             loss = loss + jnp.where(step_i > gcfg.normal_start_iter, nloss, 0.0)

@@ -195,6 +195,12 @@ def _merge128_vfwd(a, b):
 
 
 def _merge128_vbwd(res, g):
+    # Tie-approximate VJP: cotangents are routed through a STABLE sort,
+    # whose tie permutation can differ from the unstable bitonic forward —
+    # on duplicate values a cotangent may land on the wrong one of two
+    # EQUAL inputs (same value, so the subgradient is still valid). The
+    # merge is not differentiated anywhere today (z-values are
+    # stop-gradient'ed in sample_pdf, matching the reference's .detach()).
     a, b = res
     _, vjp = jax.vjp(
         lambda aa, bb: jnp.sort(jnp.concatenate([aa, bb], axis=-1),

@@ -41,26 +41,13 @@ def _is_norm_path(path) -> bool:
     return any(n in joined for n in _NORM_KEYS)
 
 
-def tp_param_specs(params, axis: str = "model"):
+def tp_param_specs(params, n: int, axis: str = "model"):
     """PartitionSpec pytree for a flax conv-net param tree (see rules
-    above)."""
-
-    def spec(path, leaf):
-        if _is_norm_path(path):
-            return P()
-        if leaf.ndim == 4:                       # conv [kh, kw, in, out]
-            if leaf.shape[3] % 2 != 0:           # odd out-ch (e.g. rgb=3)
-                return P()
-            return P(None, None, None, axis)
-        if leaf.ndim == 2:                       # dense [in, out]
-            if leaf.shape[1] % 2 != 0:
-                return P()
-            return P(None, axis)
-        if leaf.ndim == 1 and leaf.shape[0] % 2 == 0:   # bias [out]
-            return P(axis)
-        return P()
-
-    return jax.tree_util.tree_map_with_path(spec, params)
+    above). ``n`` is the mesh axis size — leaves whose out-channel dim is
+    not divisible by it stay replicated, matching shard_params_tp exactly
+    (both defer to _spec_for)."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: _spec_for(path, leaf, axis, n), params)
 
 
 def shard_params_tp(params, mesh: Mesh, axis: str = "model"):

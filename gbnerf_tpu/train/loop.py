@@ -327,6 +327,10 @@ def train(cfg: Config, *, guidance_fn=None,
             else:
                 state, _, _ = create_train_state(cfg, jax.random.PRNGKey(
                     t.seed + nan_restores))
+            # EMA may have blended non-finite params for up to i_print-1
+            # steps before detection — reset it to the restored params.
+            if ema_params is not None:
+                ema_params = state.params
             rng = jax.random.fold_in(rng, 1000 + nan_restores)
             continue
         if ema_update is not None:
@@ -339,15 +343,26 @@ def train(cfg: Config, *, guidance_fn=None,
             history.append((i + 1, m))
             # Observability beyond the reference's print-only loop
             # (SURVEY.md §5): machine-readable metrics stream per run.
+            # Non-finite floats become null — bare NaN/Infinity tokens are
+            # invalid strict JSON, exactly in the runs this stream is
+            # meant to diagnose.
+            safe = {k: (v if np.isfinite(v) else None) for k, v in m.items()}
             with open(os.path.join(expdir, "metrics.jsonl"), "a") as fh:
-                fh.write(json.dumps({"iter": i + 1, **m}) + "\n")
+                fh.write(json.dumps({"iter": i + 1, **safe}) + "\n")
             if log_fn:
                 log_fn(i + 1, m)
             else:
                 print(f"[{i + 1}/{t.N_iters}] " +
                       " ".join(f"{k}={v:.4g}" for k, v in m.items()))
         if (i + 1) % t.i_weights == 0:
-            ckpt.save(i + 1, jax.device_get(state))
+            # Never checkpoint a NaN-poisoned state: i_weights need not be
+            # a multiple of i_print, so the recovery check above may not
+            # have seen this state yet. A poisoned checkpoint would be
+            # restored in a loop by the recovery path until abort.
+            if np.isfinite(float(metrics["loss"])):
+                ckpt.save(i + 1, jax.device_get(state))
+            else:
+                print(f"[ckpt] skip save at iter {i + 1}: non-finite loss")
         if (i + 1) % t.i_video == 0 and len(scene.render_poses):
             maps = render_pose_path(render_fn, eval_params(state.params),
                                     scene.render_poses, scene.hwf,

@@ -207,6 +207,36 @@ def test_guidance_normal_gated_by_start_iter(tiny_mods, key):
     assert early != late
 
 
+def test_guidance_normal_anneal_restarts_at_start_iter(tiny_mods, key,
+                                                       monkeypatch):
+    """The normal modality's t-anneal runs on (i − normal_start), not i
+    (reference sd_utils.py:267 √((i − normal_start)/20000)): at
+    i = normal_start_iter the normal branch must see step 0 → max noise."""
+    import gbnerf_tpu.guidance.stable as stable
+
+    gcfg, mods = tiny_mods
+    seen = []
+
+    real = stable.sd_train_step
+
+    def spy(mods_, gcfg_, step_i, *a, **kw):
+        seen.append(int(step_i))
+        return real(mods_, gcfg_, step_i, *a, **kw)
+
+    monkeypatch.setattr(stable, "sd_train_step", spy)
+    fn = stable.make_guidance_fn(mods, gcfg)
+    H = W = 16
+    rgb = jax.random.uniform(key, (H, W, 3))
+    normal = jax.random.uniform(jax.random.fold_in(key, 1), (8, 8, 3))
+    mask = jnp.ones((H, W))
+    i = gcfg.normal_start_iter  # 500
+    fn(jnp.asarray(i), rgb, normal, mask, jax.random.fold_in(key, 2))
+    assert seen == [i, 0], seen  # rgb sees i; normal sees i − start = 0
+    # and step 0 maps to the max timestep of the range
+    t0 = int(mods.schedule.annealed_t(0, gcfg.t_range, gcfg.anneal_iters))
+    assert t0 == mods.schedule.step_range(gcfg.t_range)[1]
+
+
 def test_downsample_padding_torch_oracle():
     """Padding-convention parity against torch (the reference's runtime):
     VAE downsample == F.pad(x,(0,1,0,1)) + conv2d stride 2 (diffusers
