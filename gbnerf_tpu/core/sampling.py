@@ -68,7 +68,7 @@ def searchsorted_right(a, v):
 
 
 def sample_pdf(bins, weights, N_samples: int, *, det: bool = False, rng=None,
-               eps: float = 1e-5):
+               eps: float = 1e-5, u=None):
     """Inverse-CDF importance sampling of ``N_samples`` new z values.
 
     Matches the reference sample_pdf contract exactly (weights + 1e-5,
@@ -79,6 +79,9 @@ def sample_pdf(bins, weights, N_samples: int, *, det: bool = False, rng=None,
       bins: [..., N_bins] sample-interval midpoints (sorted).
       weights: [..., N_bins - 1] unnormalized interval weights.
       det: deterministic (linspace) u values instead of uniform draws.
+      u: optional [..., N_samples] explicit uniforms — the golden-test seam,
+        mirroring the reference's ``pytest=`` flag that overwrites u with
+        seeded numpy draws (run_nerf_helpers.py:320-329).
 
     Returns:
       samples: [..., N_samples] (gradient-stopped by callers as in the ref).
@@ -90,7 +93,9 @@ def sample_pdf(bins, weights, N_samples: int, *, det: bool = False, rng=None,
     cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)  # [..., N_bins]
 
     batch_shape = cdf.shape[:-1]
-    if det:
+    if u is not None:
+        u = jnp.broadcast_to(jnp.asarray(u, dtype), batch_shape + (N_samples,))
+    elif det:
         u = jnp.broadcast_to(
             jnp.linspace(0.0, 1.0, N_samples, dtype=dtype), batch_shape + (N_samples,)
         )

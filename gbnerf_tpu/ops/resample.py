@@ -45,7 +45,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def sample_pdf_fast(bins, weights, N_samples: int, *, det: bool = False,
-                    rng=None, eps: float = 1e-5, sorted_u: bool = False):
+                    rng=None, eps: float = 1e-5, sorted_u: bool = False,
+                    u=None):
     """Inverse-CDF importance sampling, gather- and matmul-free.
 
     Parity: sample_pdf (/root/reference/DS_NeRF/run_nerf_helpers.py:306-349),
@@ -67,7 +68,10 @@ def sample_pdf_fast(bins, weights, N_samples: int, *, det: bool = False,
     cdf_lo = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf[..., :-1]],
                              axis=-1)                            # [N, B-1]
 
-    if det:
+    if u is not None:  # golden-test seam (see core/sampling.py sample_pdf)
+        u = jnp.broadcast_to(jnp.asarray(u, dtype),
+                             bins.shape[:-1] + (N_samples,))
+    elif det:
         u = jnp.broadcast_to(jnp.linspace(0.0, 1.0, N_samples, dtype=dtype),
                              bins.shape[:-1] + (N_samples,))
     elif sorted_u:

@@ -1,0 +1,270 @@
+"""Golden-parity tests against the LIVING reference implementation.
+
+The reference (/root/reference, PyTorch) runs on this image's CPU torch:
+rather than re-derived expectations, these tests execute the reference's own
+functions on shared fixtures and compare the jnp implementations bit-close.
+Covered seams (the ones the original authors left goldenable via their
+``pytest=`` determinism flags, run_nerf_helpers.py:320-329, 379-383):
+
+  - get_rays / get_rays_by_coord / ndc_rays   (run_nerf_helpers.py:251-303)
+  - sample_pdf                                (run_nerf_helpers.py:306-349)
+  - raw2outputs                               (run_nerf_helpers.py:352-406)
+  - scheduler alphas_cumprod                  (sd_utils.py:129-139; the
+    diffusers scaled_linear schedule reimplemented in torch — sd_utils
+    itself needs diffusers, absent here)
+  - LLFF pose math                            (load_llff.py:204-258, :264)
+
+Any intentional divergence is asserted around, with the reason stated.
+"""
+import sys
+import types
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REF = "/root/reference/DS_NeRF"
+
+
+@pytest.fixture(scope="module")
+def ref_helpers():
+    # run_nerf_helpers imports torchvision purely as a module-level import
+    # (no symbol used); stub it so the module loads on this image.
+    if "torchvision" not in sys.modules:
+        sys.modules["torchvision"] = types.ModuleType("torchvision")
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    import run_nerf_helpers  # noqa: E402
+
+    return run_nerf_helpers
+
+
+@pytest.fixture(scope="module")
+def ref_llff():
+    if "torchvision" not in sys.modules:
+        sys.modules["torchvision"] = types.ModuleType("torchvision")
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    from DS_NeRF import load_llff  # noqa: E402
+
+    return load_llff
+
+
+def t2n(x):
+    return x.detach().cpu().numpy()
+
+
+# ---------------------------------------------------------------- ray gen
+
+def test_get_rays_golden(ref_helpers, rng):
+    from gbnerf_tpu.core.rays import get_rays
+
+    H, W, focal = 13, 21, 17.3
+    c2w = np.eye(4, dtype=np.float32)[:3, :4]
+    c2w[:3, :3] = np.linalg.qr(rng.normal(size=(3, 3)))[0].astype(np.float32)
+    c2w[:3, 3] = rng.normal(size=3).astype(np.float32)
+
+    ro_ref, rd_ref = ref_helpers.get_rays(H, W, focal,
+                                          torch.from_numpy(c2w))
+    ro, rd = get_rays(H, W, focal, jnp.asarray(c2w))
+    np.testing.assert_allclose(np.asarray(ro), t2n(ro_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rd), t2n(rd_ref), atol=1e-5)
+
+
+def test_get_rays_by_coord_golden(ref_helpers, rng):
+    from gbnerf_tpu.core.rays import get_rays_by_coord
+
+    H, W, focal = 24, 32, 20.0
+    c2w = np.eye(4, dtype=np.float32)[:3, :4]
+    c2w[:3, :3] = np.linalg.qr(rng.normal(size=(3, 3)))[0].astype(np.float32)
+    c2w[:3, 3] = rng.normal(size=3).astype(np.float32)
+    coords = rng.uniform(0, [W, H], size=(50, 2)).astype(np.float32)
+
+    ro_ref, rd_ref = ref_helpers.get_rays_by_coord_np(H, W, focal, c2w,
+                                                      coords)
+    ro, rd = get_rays_by_coord(H, W, focal, jnp.asarray(c2w),
+                               jnp.asarray(coords))
+    np.testing.assert_allclose(np.asarray(ro), ro_ref, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rd), rd_ref, atol=1e-5)
+
+
+def test_ndc_rays_golden(ref_helpers, rng):
+    from gbnerf_tpu.core.rays import ndc_rays
+
+    H, W, focal, near = 30, 40, 35.0, 1.0
+    ro = rng.normal(size=(64, 3)).astype(np.float32)
+    rd = rng.normal(size=(64, 3)).astype(np.float32)
+    rd[:, 2] = -np.abs(rd[:, 2]) - 0.3   # forward-facing, as LLFF assumes
+    ro[:, 2] = -np.abs(ro[:, 2]) - 2.0
+
+    ro_ref, rd_ref = ref_helpers.ndc_rays(
+        H, W, focal, near, torch.from_numpy(ro), torch.from_numpy(rd))
+    o, d = ndc_rays(H, W, focal, near, jnp.asarray(ro), jnp.asarray(rd))
+    np.testing.assert_allclose(np.asarray(o), t2n(ro_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(d), t2n(rd_ref), atol=1e-5)
+
+
+# ------------------------------------------------------------- sample_pdf
+
+def _pdf_fixture(rng, N=40, B=17):
+    bins = np.sort(rng.uniform(1.0, 5.0, size=(N, B)).astype(np.float32), -1)
+    weights = rng.uniform(0.0, 1.0, size=(N, B - 1)).astype(np.float32)
+    weights[3] = 0.0            # degenerate row: eps path
+    weights[5, :4] = 100.0      # concentrated mass
+    return bins, weights
+
+
+def test_sample_pdf_det_golden(ref_helpers, rng):
+    """det=True is the reference's own pytest determinism mode
+    (run_nerf_helpers.py:320-325): u = linspace, no randomness."""
+    from gbnerf_tpu.core.sampling import sample_pdf
+
+    bins, weights = _pdf_fixture(rng)
+    s_ref = ref_helpers.sample_pdf(torch.from_numpy(bins),
+                                   torch.from_numpy(weights), 31, det=True,
+                                   pytest=True)
+    s = sample_pdf(jnp.asarray(bins), jnp.asarray(weights), 31, det=True)
+    # Inverse-CDF is discontinuous at the cdf steps: when a linspace u
+    # lands within one f32-cumsum ulp of a step, torch and jnp may invert
+    # into adjacent (zero-width-in-u) intervals. Both are valid inversions;
+    # the positional difference is bounded by a bin width (~1e-3 here,
+    # observed on 3/1240 elements).
+    np.testing.assert_allclose(np.asarray(s), t2n(s_ref), atol=2e-3)
+
+
+def test_sample_pdf_seeded_u_golden(ref_helpers, rng):
+    """pytest=True stochastic mode: the reference overwrites u with
+    np.random.seed(0) draws (run_nerf_helpers.py:326-329); we inject the
+    identical u through the jnp implementations' golden seam."""
+    from gbnerf_tpu.core.sampling import sample_pdf
+    from gbnerf_tpu.ops.resample import sample_pdf_fast
+
+    bins, weights = _pdf_fixture(rng)
+    N_samples = 23
+    s_ref = ref_helpers.sample_pdf(torch.from_numpy(bins),
+                                   torch.from_numpy(weights), N_samples,
+                                   det=False, pytest=True)
+    np.random.seed(0)
+    u = np.random.rand(bins.shape[0], N_samples).astype(np.float32)
+
+    s = sample_pdf(jnp.asarray(bins), jnp.asarray(weights), N_samples,
+                   u=jnp.asarray(u))
+    np.testing.assert_allclose(np.asarray(s), t2n(s_ref), atol=2e-5)
+
+    s_fast = sample_pdf_fast(jnp.asarray(bins), jnp.asarray(weights),
+                             N_samples, u=jnp.asarray(u))
+    np.testing.assert_allclose(np.asarray(s_fast), t2n(s_ref), atol=3e-5)
+
+
+# ------------------------------------------------------------ raw2outputs
+
+def test_raw2outputs_golden(ref_helpers, rng):
+    from gbnerf_tpu.core.render import raw2outputs
+
+    N, S = 32, 24
+    raw = rng.normal(size=(N, S, 4)).astype(np.float32) * 2.0
+    z_vals = np.sort(rng.uniform(1.0, 5.0, size=(N, S)).astype(np.float32), -1)
+    rays_d = rng.normal(size=(N, 3)).astype(np.float32)
+
+    for white_bkgd in (False, True):
+        rgb_r, disp_r, acc_r, w_r, depth_r, alpha_r = ref_helpers.raw2outputs(
+            torch.from_numpy(raw), torch.from_numpy(z_vals),
+            torch.from_numpy(rays_d), raw_noise_std=0,
+            white_bkgd=white_bkgd, need_alpha=True)
+        rgb, disp, acc, w, depth, alpha = raw2outputs(
+            jnp.asarray(raw), jnp.asarray(z_vals), jnp.asarray(rays_d),
+            raw_noise_std=0.0, white_bkgd=white_bkgd)
+        np.testing.assert_allclose(np.asarray(rgb), t2n(rgb_r), atol=3e-5)
+        np.testing.assert_allclose(np.asarray(w), t2n(w_r), atol=3e-5)
+        np.testing.assert_allclose(np.asarray(acc), t2n(acc_r), atol=3e-5)
+        np.testing.assert_allclose(np.asarray(depth), t2n(depth_r), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(alpha), t2n(alpha_r), atol=3e-5)
+        # disp: documented divergence — we clamp to 1/z_near on empty rays
+        # (core/render.py). On occupied rays (acc >> 0) the two agree:
+        # E[z | termination] >= z_near makes the clamp inactive.
+        occ = t2n(acc_r) > 0.5
+        assert occ.any()
+        np.testing.assert_allclose(np.asarray(disp)[occ], t2n(disp_r)[occ],
+                                   rtol=1e-4)
+
+
+# ---------------------------------------------------- diffusion schedule
+
+def test_alphas_cumprod_golden():
+    """The exact scheduler state the reference trains against: diffusers'
+    scaled_linear betas from the SD1.5-inpaint config (beta_start 0.00085,
+    beta_end 0.012, 1000 steps), consumed at sd_utils.py:139 as
+    self.alphas = scheduler.alphas_cumprod. sd_utils needs diffusers (absent
+    here), so the three defining lines are recomputed in torch float64."""
+    from gbnerf_tpu.guidance.schedule import DiffusionSchedule
+
+    betas = torch.linspace(0.00085 ** 0.5, 0.012 ** 0.5, 1000,
+                           dtype=torch.float64) ** 2
+    ac_ref = torch.cumprod(1.0 - betas, dim=0)
+
+    sched = DiffusionSchedule.sd_v1()
+    np.testing.assert_allclose(sched.alphas_cumprod, t2n(ac_ref), rtol=2e-6)
+    # the min/max step slicing used by the annealed timestep (sd_utils:130)
+    mn, mx = sched.step_range((0.02, 0.98))
+    assert (mn, mx) == (int(1000 * 0.02), int(1000 * 0.98))
+
+
+# ---------------------------------------------------------- LLFF pose math
+
+def _random_poses(rng, n=7):
+    poses = np.zeros((n, 3, 5), np.float32)
+    for i in range(n):
+        q, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+        if np.linalg.det(q) < 0:
+            q[:, 0] *= -1
+        poses[i, :3, :3] = q
+        poses[i, :3, 3] = rng.normal(size=3) * 2.0
+    poses[:, :3, 4] = np.array([96.0, 128.0, 100.0])  # hwf column
+    return poses
+
+
+def test_llff_pose_math_golden(ref_llff, rng):
+    from gbnerf_tpu.data.llff import (poses_avg, recenter_poses,
+                                      render_path_spiral, viewmatrix)
+
+    poses = _random_poses(rng)
+    z = rng.normal(size=3).astype(np.float32)
+    up = rng.normal(size=3).astype(np.float32)
+    pos = rng.normal(size=3).astype(np.float32)
+    np.testing.assert_allclose(viewmatrix(z, up, pos),
+                               ref_llff.viewmatrix(z, up, pos), atol=1e-6)
+    np.testing.assert_allclose(poses_avg(poses), ref_llff.poses_avg(poses),
+                               atol=1e-6)
+    np.testing.assert_allclose(recenter_poses(poses),
+                               ref_llff.recenter_poses(poses), atol=1e-5)
+
+    c2w = ref_llff.poses_avg(poses)
+    up_v = poses[:, :3, 1].sum(0)
+    rads = np.array([0.8, 0.6, 0.4])
+    ref_spiral = np.stack(ref_llff.render_path_spiral(
+        c2w, up_v, rads, focal=50.0, zdelta=0.2, zrate=0.5, rots=2, N=30))
+    # divergence, documented at data/llff.py::render_path_spiral: the
+    # reference's zdelta arg is computed but UNUSED inside the function —
+    # our signature drops it.
+    spiral = render_path_spiral(c2w, up_v, rads, focal=50.0, zrate=0.5,
+                                rots=2, N=30)
+    np.testing.assert_allclose(spiral, ref_spiral.astype(np.float32),
+                               atol=1e-5)
+
+
+def test_spherify_golden(ref_llff, rng):
+    from gbnerf_tpu.data.llff import spherify_poses
+
+    poses = _random_poses(rng, n=9)
+    bds = np.stack([np.full(9, 1.5, np.float32), np.full(9, 6.0, np.float32)],
+                   -1)
+    p_ref, rp_ref, bds_ref, _sc, _inv = ref_llff.spherify_poses(
+        poses.copy(), bds.copy())
+    p, rp, b = spherify_poses(poses.copy(), bds.copy())
+    np.testing.assert_allclose(p[:, :3, :4], np.asarray(p_ref)[:, :3, :4],
+                               atol=1e-4)
+    np.testing.assert_allclose(b, np.asarray(bds_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rp)[:, :3, :4],
+                               np.asarray(rp_ref)[:, :3, :4], atol=1e-4)
