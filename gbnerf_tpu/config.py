@@ -116,6 +116,30 @@ class GuidanceConfig:
     prompt: str = ""
     prompt_normal: str = ""
     negative_prompt: str = ""
+    # --- view-conditioned prompting (Pretrain_Model orchestration,
+    # nerf/utils.py:222-319). Per iteration a random orbit azimuth is
+    # sampled (rand_poses) and, under perpneg, blends direction-suffixed
+    # prompt embeddings aggregated Perp-Neg style. The reference imports
+    # the aggregator (sd_utils.py:24) but ships no live caller — and its
+    # progressive branch reads opt.default_polar/front_decay_factor that
+    # its own parser never defines (would AttributeError); we normalize
+    # with stable-dreamfusion's defaults.
+    perpneg: bool = False
+    default_azimuth: float = 0.0
+    default_polar: float = 90.0
+    default_radius: float = 3.25
+    radius_range: Tuple[float, float] = (3.0, 3.5)    # run.py:519
+    theta_range: Tuple[float, float] = (45.0, 105.0)  # run.py:520
+    phi_range: Tuple[float, float] = (-180.0, 180.0)  # run.py:521
+    angle_overhead: float = 30.0                      # run.py:524
+    angle_front: float = 60.0                         # run.py:525
+    progressive_view: bool = False                    # run.py:531
+    progressive_view_init_ratio: float = 0.2          # run.py:532
+    exp_start_iter: int = 0                           # run.py:1192
+    exp_end_iter: int = 0                             # 0 → N_iters (run.py:1193)
+    negative_w: float = -2.0
+    front_decay_factor: float = 2.0
+    side_decay_factor: float = 10.0
 
 
 @dataclass(frozen=True)
@@ -232,6 +256,23 @@ _FLAG_MAP = {
     "sd_weights_dir": ("guidance", "sd_weights_dir"),
     "sd_tiny": ("guidance", "sd_tiny"),
     "sd_allow_random": ("guidance", "sd_allow_random"),
+    "perpneg": ("guidance", "perpneg"),
+    "default_azimuth": ("guidance", "default_azimuth"),
+    "default_polar": ("guidance", "default_polar"),
+    "default_radius": ("guidance", "default_radius"),
+    "radius_range": ("guidance", "radius_range"),
+    "theta_range": ("guidance", "theta_range"),
+    "phi_range": ("guidance", "phi_range"),
+    "angle_overhead": ("guidance", "angle_overhead"),
+    "angle_front": ("guidance", "angle_front"),
+    "progressive_view": ("guidance", "progressive_view"),
+    "progressive_view_init_ratio":
+        ("guidance", "progressive_view_init_ratio"),
+    "exp_start_iter": ("guidance", "exp_start_iter"),
+    "exp_end_iter": ("guidance", "exp_end_iter"),
+    "negative_w": ("guidance", "negative_w"),
+    "front_decay_factor": ("guidance", "front_decay_factor"),
+    "side_decay_factor": ("guidance", "side_decay_factor"),
     # reference aconfig_1.txt aliases
     "normal_start": ("guidance", "normal_start_iter"),
     "rgb_guidance_scale": ("guidance", "guidance_scale"),
@@ -301,6 +342,12 @@ def load_reference_config(path: str, base: Optional[Config] = None) -> Config:
                     val = tuple(int(x) for x in val.split(","))
                 elif isinstance(val, (int, float)):
                     val = (int(val),)  # single-resolution coarse grid
+            elif (isinstance(getattr(getattr(cfg, section), fname), tuple)
+                  and isinstance(val, str)):
+                # float-tuple knobs (t_range, radius/theta/phi_range):
+                # accept both "a,b" and the reference's nargs-style "a b"
+                val = tuple(float(x)
+                            for x in val.replace(",", " ").split())
             sections[section][fname] = val
     return Config(**{
         s: dataclasses.replace(getattr(cfg, s), **kv) if kv else getattr(cfg, s)

@@ -69,6 +69,31 @@ def rand_poses(rng, size: int, *, radius_range=(1.0, 1.5),
     return poses, dirs, thetas, phis, radii
 
 
+def progressive_ranges(step_i, gcfg, n_iters: int):
+    """jit-safe per-step view ranges (reference nerf/utils.py:264-273).
+
+    r = min(1, init_ratio + 2·exp_iter_ratio); each range interpolates from
+    its default-view center to the full range. Returns (theta, phi, radius)
+    pairs as traced scalars when progressive_view is on, else the static
+    full ranges. The reference mutates opt.*_range in place each cal_loss —
+    here the same schedule is a pure function of the step.
+    """
+    if not gcfg.progressive_view:
+        return gcfg.theta_range, gcfg.phi_range, gcfg.radius_range
+    end = gcfg.exp_end_iter or n_iters
+    ratio = (jnp.asarray(step_i, jnp.float32) - gcfg.exp_start_iter) / max(
+        end - gcfg.exp_start_iter, 1)
+    r = jnp.minimum(1.0, gcfg.progressive_view_init_ratio + 2.0 * ratio)
+
+    def lerp(default, full):
+        return (default * (1.0 - r) + full[0] * r,
+                default * (1.0 - r) + full[1] * r)
+
+    return (lerp(gcfg.default_polar, gcfg.theta_range),
+            lerp(gcfg.default_azimuth, gcfg.phi_range),
+            lerp(gcfg.default_radius, gcfg.radius_range))
+
+
 @dataclass
 class ProgressiveViews:
     """Progressively widen pose sampling ranges (nerf/utils.py:264-273)."""

@@ -51,6 +51,9 @@ class SDModules:
     embeds_rgb: jnp.ndarray
     # [3, L, D]: same triple for the normal-map prompt
     embeds_normal: jnp.ndarray
+    # direction-suffixed prompt embeds {front, side, back} ([L, D] each)
+    # for Perp-Neg azimuth conditioning; None unless gcfg.perpneg.
+    embeds_dir: Optional[dict] = None
     latent_size: int = LATENT_SIZE
 
     @property
@@ -114,11 +117,20 @@ def build_sd_modules(
     embeds_normal = encode_triple(gcfg.prompt_normal or gcfg.prompt,
                                   gcfg.negative_prompt)
 
+    embeds_dir = None
+    if gcfg.perpneg:
+        # direction-suffixed prompts (stable-dreamfusion convention; the
+        # reference sketches this at nerf/utils.py:206-208, commented out)
+        ids = tok([f"{gcfg.prompt}, {d} view"
+                   for d in ("front", "side", "back")])
+        z = text_apply({"params": text_params}, jnp.asarray(ids))
+        embeds_dir = {"front": z[0], "side": z[1], "back": z[2]}
+
     return SDModules(unet=unet, unet_params=unet_params, vae=vae,
                      vae_params=vae_params,
                      schedule=DiffusionSchedule.sd_v1(),
                      embeds_rgb=embeds_rgb, embeds_normal=embeds_normal,
-                     latent_size=latent_size)
+                     embeds_dir=embeds_dir, latent_size=latent_size)
 
 
 def _resize(img, size: int, method: str = "bilinear"):
@@ -239,6 +251,68 @@ def sd_train_step_colla(mods: SDModules, gcfg: GuidanceConfig, step_i,
     return inject_gradient(latents_t, grad, mask_latent)
 
 
+def sd_train_step_perpneg(mods: SDModules, gcfg: GuidanceConfig, step_i,
+                          rgb, mask, rng, *, text_z, weights,
+                          guidance_scale: float, uncond,
+                          unet_params=None, vae_params=None):
+    """Perp-Neg SDS on one modality: azimuth-blended positive prompt plus
+    weighted perpendicular components of the auxiliary-direction deltas.
+
+    The reference imports weighted_perpendicular_aggregator
+    (sd_utils.py:24) but ships no live caller; this wires the intended
+    stable-dreamfusion train-step shape behind gcfg.perpneg.
+
+    Args:
+      text_z: [1+K, L, D] (main blended direction, K auxiliaries) from
+        adjust_text_embeddings.
+      weights: [K] auxiliary Perp-Neg weights.
+      uncond: [L, D] unconditional embedding.
+    """
+    from .perpneg import weighted_perpendicular_aggregator
+
+    S, LR = mods.latent_size, mods.latent_res
+    sched = mods.schedule
+    unet_params = mods.unet_params if unet_params is None else unet_params
+    vae_params = mods.vae_params if vae_params is None else vae_params
+    k_noise, k_enc1, k_enc2 = jax.random.split(rng, 3)
+
+    rgb512 = _resize(rgb[None], S) * 2.0 - 1.0
+    mask512 = _resize(jnp.abs(mask)[None, ..., None], S)
+    masked_image = rgb512 * (mask512 < 0.5)
+
+    vae_apply = lambda img, k: mods.vae.apply(
+        {"params": vae_params}, img, k, method=AutoencoderKL.encode)
+    init_latents = vae_apply(rgb512, k_enc1)
+    masked_latents = jax.lax.stop_gradient(vae_apply(masked_image, k_enc2))
+    mask_latent = _resize(mask512, LR, method="nearest")
+
+    t = sched.annealed_t(step_i, gcfg.t_range, gcfg.anneal_iters)
+    noise = jax.random.normal(k_noise, init_latents.shape)
+    latents_t = sched.add_noise(init_latents, noise, t)
+
+    n_dir = text_z.shape[0]                  # 1 + K
+    k = 1 + n_dir                            # uncond + directions
+    lat_in = jnp.concatenate([latents_t] * k, axis=0)
+    unet_in = jnp.concatenate(
+        [lat_in,
+         jnp.concatenate([mask_latent] * k, axis=0),
+         jnp.concatenate([masked_latents] * k, axis=0)], axis=-1)
+    emb = jnp.concatenate([uncond[None], text_z], axis=0)    # [k, L, D]
+
+    eps = mods.unet.apply({"params": unet_params},
+                          jax.lax.stop_gradient(unet_in), t, emb)
+    eps = jax.lax.stop_gradient(eps)
+
+    e_unc = eps[:1]                                          # [1,...]
+    deltas = eps[1:] - e_unc                                 # [1+K,...]
+    agg = weighted_perpendicular_aggregator(deltas, weights, 1)
+    pred = e_unc[0] + guidance_scale * agg[0]
+
+    grad = score_distillation_grad(pred[None], noise, sched.sds_weight(t),
+                                   mode="sds")
+    return inject_gradient(latents_t, grad, mask_latent)
+
+
 def guidance_params(mods: SDModules):
     """The SD state to thread through the train step as an ARGUMENT.
 
@@ -246,21 +320,55 @@ def guidance_params(mods: SDModules):
     weights into the executable as constants (observed); as arguments they
     stay ordinary device buffers.
     """
-    return {"unet": mods.unet_params, "vae": mods.vae_params,
-            "embeds_rgb": mods.embeds_rgb,
-            "embeds_normal": mods.embeds_normal}
+    p = {"unet": mods.unet_params, "vae": mods.vae_params,
+         "embeds_rgb": mods.embeds_rgb,
+         "embeds_normal": mods.embeds_normal}
+    if mods.embeds_dir is not None:
+        p["embeds_dir"] = mods.embeds_dir
+    return p
 
 
-def make_guidance_fn(mods: SDModules, gcfg: GuidanceConfig):
+def make_guidance_fn(mods: SDModules, gcfg: GuidanceConfig,
+                     n_iters: int = 10000):
     """Build the train-step guidance hook (step.py GuidanceFn contract).
 
     Dispatch parity with Pretrain_Model.cal_loss (nerf/utils.py:222-319):
     RGB SDS on the composite, normal-map SDS after normal_start_iter, each
-    with its own CFG scale; modality losses sum into one scalar.
+    with its own CFG scale; modality losses sum into one scalar. Under
+    gcfg.perpneg the RGB modality is azimuth-conditioned: a random orbit
+    azimuth is drawn each step (rand_poses, nerf/utils.py:239-245, with
+    progressive view-range widening :264-273 when progressive_view), the
+    direction-suffixed prompt embeds are blended (adjust_text_embeddings)
+    and aggregated Perp-Neg style.
 
     The returned fn accepts `gparams` (see guidance_params); when None it
     falls back to the module-held params (small/test configs only).
     """
+    use_perpneg = gcfg.perpneg and mods.embeds_dir is not None
+
+    def _perpneg_rgb(step_i, combin_rgb, mask, k_rgb, up, vp, e_rgb,
+                     e_dir):
+        from .directional import adjust_text_embeddings
+        from .orchestrator import progressive_ranges, rand_poses
+
+        k_az, k_sd = jax.random.split(k_rgb)
+        theta_r, phi_r, rad_r = progressive_ranges(step_i, gcfg, n_iters)
+        _, _, _, phis, _ = rand_poses(
+            k_az, 1, radius_range=rad_r, theta_range=theta_r,
+            phi_range=phi_r, angle_overhead=gcfg.angle_overhead,
+            angle_front=gcfg.angle_front)
+        az = phis * (180.0 / jnp.pi) - gcfg.default_azimuth
+        az = jnp.mod(az + 180.0, 360.0) - 180.0       # wrap to [-180, 180)
+        text_z, weights = adjust_text_embeddings(
+            e_dir, az,
+            front_decay_factor=gcfg.front_decay_factor,
+            side_decay_factor=gcfg.side_decay_factor,
+            negative_w=gcfg.negative_w)
+        return sd_train_step_perpneg(
+            mods, gcfg, step_i, combin_rgb, mask, k_sd,
+            text_z=text_z, weights=weights,
+            guidance_scale=gcfg.guidance_scale, uncond=e_rgb[1],
+            unet_params=up, vae_params=vp)
 
     def guidance_fn(step_i, combin_rgb, normal_map, mask, rng,
                     rgbs4=None, masks4=None, gparams=None):
@@ -270,7 +378,11 @@ def make_guidance_fn(mods: SDModules, gcfg: GuidanceConfig):
         e_nrm = gp.get("embeds_normal", mods.embeds_normal)
         k_rgb, k_n, k_c = jax.random.split(rng, 3)
         loss = jnp.zeros(())
-        if gcfg.is_rgb_guidance:
+        if gcfg.is_rgb_guidance and use_perpneg:
+            e_dir = gp.get("embeds_dir", mods.embeds_dir)
+            loss = loss + _perpneg_rgb(step_i, combin_rgb, mask, k_rgb,
+                                       up, vp, e_rgb, e_dir)
+        elif gcfg.is_rgb_guidance:
             loss = loss + sd_train_step(
                 mods, gcfg, step_i, combin_rgb, mask, k_rgb,
                 embeds=e_rgb, guidance_scale=gcfg.guidance_scale,

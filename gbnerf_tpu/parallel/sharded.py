@@ -20,7 +20,7 @@ from ..utils.metrics import img2mse, mse2psnr, weighted_mse
 
 def make_sharded_train_step(cfg: Config, coarse_model, fine_model,
                             near: float, far: float, mesh: Mesh,
-                            axis: str = "data"):
+                            axis: str = "data", hwf=None):
     """Stage-1 (DS-NeRF) train step, SPMD over the mesh.
 
     The returned step takes pre-assembled per-iteration batches
@@ -28,7 +28,8 @@ def make_sharded_train_step(cfg: Config, coarse_model, fine_model,
     sharded; state is replicated. Gradient cross-replica mean comes from the
     sharded-mean in the loss — no explicit collectives.
     """
-    render = make_render_fn(cfg, coarse_model, fine_model, near, far)
+    render = make_render_fn(cfg, coarse_model, fine_model, near, far,
+                            hwf=hwf)
     tx = make_optimizer(cfg)
     d = cfg.data
 
@@ -88,13 +89,14 @@ def make_sharded_train_step(cfg: Config, coarse_model, fine_model,
 
 def make_sharded_renderer(cfg: Config, coarse_model, fine_model,
                           near: float, far: float, mesh: Mesh,
-                          axis: str = "data"):
+                          axis: str = "data", hwf=None):
     """Eval renderer with the ray axis sharded over the mesh.
 
     Full-image renders shard pixels; the host sees one global array
     (all-gather is implicit in the output sharding → host fetch).
     """
-    render = make_render_fn(cfg, coarse_model, fine_model, near, far)
+    render = make_render_fn(cfg, coarse_model, fine_model, near, far,
+                            hwf=hwf)
     repl = NamedSharding(mesh, P())
     shard = NamedSharding(mesh, P(axis))
 

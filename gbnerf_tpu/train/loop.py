@@ -134,7 +134,7 @@ def render_only(cfg: Config) -> dict:
 
     alpha = load_alpha_model(cfg)
     render_fn = make_render_fn(cfg, coarse, fine, scene.near, scene.far,
-                               alpha=alpha)
+                               alpha=alpha, hwf=scene.hwf)
     # Frozen alpha params ride under params["alpha"] as jit ARGUMENTS
     # (design invariant: never closure-bake params into executables).
     eparams = (dict(state.params, alpha=alpha[1]) if alpha is not None
@@ -231,7 +231,7 @@ def train(cfg: Config, *, guidance_fn=None,
                           vocab_size=49408, width=32, layers=2, heads=2),
                       latent_size=64, dtype=jnp.float32)
         mods = build_sd_modules(g, k_sd, weights_dir=g.sd_weights_dir, **kw)
-        guidance_fn = make_guidance_fn(mods, g)
+        guidance_fn = make_guidance_fn(mods, g, n_iters=t.N_iters)
         from ..guidance.stable import guidance_params
 
         gparams = guidance_params(mods)
@@ -267,7 +267,7 @@ def train(cfg: Config, *, guidance_fn=None,
     def eval_params(p):
         return dict(p, alpha=aparams) if alpha is not None else p
     render_fn = make_render_fn(cfg, coarse, fine, scene.near, scene.far,
-                               alpha=alpha)
+                               alpha=alpha, hwf=scene.hwf)
     # Multi-chip: shard the per-iteration ray work over a 1D data mesh
     # (params replicated; XLA all-reduces grads over ICI). The same jitted
     # step runs 1-chip (mesh=None) or N-chip.
@@ -279,7 +279,8 @@ def train(cfg: Config, *, guidance_fn=None,
         print(f"[mesh] data-parallel over {jax.device_count()} devices")
     if t.first_stage:
         step_fn = make_train_step_stage1(cfg, coarse, fine, scene.near,
-                                         scene.far, alpha=alpha, mesh=mesh)
+                                         scene.far, alpha=alpha, mesh=mesh,
+                                         hwf=scene.hwf)
         def do_step(state, key):
             return step_fn(state, banks_dev, key, aparams)
     else:

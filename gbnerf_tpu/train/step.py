@@ -41,11 +41,16 @@ GuidanceFn = Callable[..., jnp.ndarray]
 
 
 def make_render_fn(cfg: Config, coarse_model, fine_model, near: float, far: float,
-                   alpha=None):
+                   alpha=None, hwf=None):
     """Build render(params, rays_o, rays_d, rng, train) → RenderOutputs.
 
     near/far are scene constants (reference render_kwargs); NDC reparam is
-    applied when the config asks for it (LLFF forward-facing, no_ndc=False).
+    applied when the config asks for it (LLFF forward-facing, no_ndc=False):
+    viewdirs come from the WORLD-space directions, then rays are mapped
+    through ndc_rays with near-plane 1 and marched over [0, 1] — exactly the
+    reference's render() wiring (run.py:1711-1723 + train()'s near,far=0,1).
+    hwf: (H, W, focal) training intrinsics — required for NDC, which needs
+    the frustum shape; ignored otherwise.
 
     alpha: optional (model, params) pair of a FROZEN pretrained field that
     supplies σ (NeRF_RGB / --alpha_model_path parity, run.py:2015-2044);
@@ -58,14 +63,20 @@ def make_render_fn(cfg: Config, coarse_model, fine_model, near: float, far: floa
     ``with_alpha_params`` to merge them in at call sites.
     """
     r = cfg.render
+    use_ndc = not r.no_ndc
+    if use_ndc:
+        if hwf is None:
+            raise ValueError("no_ndc=False needs hwf=(H, W, focal) — the "
+                             "NDC frustum is shaped by the intrinsics")
+        ndc_H, ndc_W, ndc_focal = int(hwf[0]), int(hwf[1]), float(hwf[2])
+        near, far = 0.0, 1.0
+    from ..core.rays import ndc_rays as _ndc_rays
 
     def render(params, rays_o, rays_d, rng=None, *, train: bool):
         viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
-        if not r.no_ndc:
-            # H, W, focal only shape the NDC frustum; reference passes the
-            # training intrinsics. We fold them via cfg-scene closure instead.
-            raise NotImplementedError(
-                "NDC path requires intrinsics; use make_render_fn_ndc")
+        if use_ndc:
+            rays_o, rays_d = _ndc_rays(ndc_H, ndc_W, ndc_focal, 1.0,
+                                       rays_o, rays_d)
         n = jnp.full(rays_o.shape[:-1] + (1,), near, rays_o.dtype)
         f = jnp.full(rays_o.shape[:-1] + (1,), far, rays_o.dtype)
         coarse_fn = make_field_fn(coarse_model, params["coarse"])
@@ -172,6 +183,32 @@ def _masked_rays(H: int, W: int, focal: float, pose, coords):
     return rays_o, rays_d
 
 
+def _sigma_depth_loss(cfg: Config, coarse_model, fine_model, alpha,
+                      rparams, dep, near, rng):
+    """DS-NeRF σ-likelihood on COLMAP-depth rays (reference SigmaLoss,
+    loss.py:8-44, built at run.py:2122-2124 on the FINE network).
+
+    Divergence, documented: the reference computes this into the render
+    extras (run.py:2372-2375) but its shipped loop never sums it into the
+    loss; we wire DS-NeRF's intended `+ sigma_loss_weight · mean(...)`.
+    """
+    from .losses import sigma_loss
+
+    r = cfg.render
+    model = fine_model if fine_model is not None else coarse_model
+    key = "fine" if fine_model is not None else "coarse"
+    fn = make_field_fn(model, rparams[key])
+    if alpha is not None:
+        fn = make_frozen_sigma_field_fn(
+            fn, make_field_fn(alpha[0], rparams["alpha"]))
+    viewdirs = dep["d"] / jnp.linalg.norm(dep["d"], axis=-1, keepdims=True)
+    per_ray = sigma_loss(fn, dep["o"], dep["d"], viewdirs, near,
+                         dep["target"][:, 0], N_samples=r.N_samples,
+                         perturb=r.perturb > 0.0,
+                         raw_noise_std=r.raw_noise_std, rng=rng)
+    return jnp.mean(per_ray)
+
+
 def _make_ray_constraint(mesh, mesh_axis: str):
     """Identity when mesh is None; else a tree-wide leading-axis
     with_sharding_constraint onto (mesh, P(mesh_axis))."""
@@ -190,15 +227,16 @@ def _make_ray_constraint(mesh, mesh_axis: str):
 
 def make_train_step_stage1(cfg: Config, coarse_model, fine_model,
                            near: float, far: float, alpha=None,
-                           mesh=None, mesh_axis: str = "data"):
+                           mesh=None, mesh_axis: str = "data", hwf=None):
     """DS-NeRF batched training step (reference first_stage path).
 
     mesh: optional jax.sharding.Mesh — shard the sampled ray batches over
     ``mesh_axis`` (params replicated, gradient all-reduce over ICI); the
     same step runs 1-chip or N-chip.
+    hwf: training intrinsics, required only for the NDC path (no_ndc=False).
     """
     render = make_render_fn(cfg, coarse_model, fine_model, near, far,
-                            alpha=alpha)
+                            alpha=alpha, hwf=hwf)
     tx = make_optimizer(cfg)
     t, d = cfg.train, cfg.data
     constrain_rays = _make_ray_constraint(mesh, mesh_axis)
@@ -224,11 +262,17 @@ def make_train_step_stage1(cfg: Config, coarse_model, fine_model,
             loss = loss + d.depth_lambda * depth_loss
 
         dep = batches.get("depth")
+        sig_loss = jnp.zeros(())
         if dep is not None:
             out_d = render(rparams, dep["o"], dep["d"], k3, train=True)
             col_loss = weighted_mse(out_d.depth, dep["target"][:, 0],
                                     dep["target"][:, 1])
             loss = loss + d.sdepth_lambda * col_loss
+            if t.sigma_loss_weight > 0:
+                sig_loss = _sigma_depth_loss(
+                    cfg, coarse_model, fine_model, alpha, rparams, dep,
+                    near, jax.random.fold_in(k3, 1))
+                loss = loss + t.sigma_loss_weight * sig_loss
 
         if t.tv_loss_weight > 0:
             from .losses import cp_tv_loss
@@ -236,7 +280,7 @@ def make_train_step_stage1(cfg: Config, coarse_model, fine_model,
             loss = loss + t.tv_loss_weight * cp_tv_loss(params)
 
         return loss, {"img_loss": img_loss, "depth_loss": depth_loss,
-                      "psnr": mse2psnr(img_loss)}
+                      "sigma_loss": sig_loss, "psnr": mse2psnr(img_loss)}
 
     @jax.jit
     def step(state: TrainState, banks_dev, rng, aparams=None):
@@ -279,7 +323,7 @@ def make_train_step_stage2(cfg: Config, coarse_model, fine_model,
     that feed it, not the diffusion batch.
     """
     render = make_render_fn(cfg, coarse_model, fine_model, near, far,
-                            alpha=alpha)
+                            alpha=alpha, hwf=hwf)
     tx = make_optimizer(cfg)
     t, d, g = cfg.train, cfg.data, cfg.guidance
     H, W, focal = int(hwf[0]), int(hwf[1]), float(hwf[2])
@@ -315,12 +359,18 @@ def make_train_step_stage2(cfg: Config, coarse_model, fine_model,
         loss = loss + d.depth_lambda * depth_loss
 
         # COLMAP sparse depth (sampled by the reference loop; weighted MSE).
+        sig_loss = jnp.zeros(())
         if batch.depth is not None and d.colmap_depth:
             out_d = render(rparams, batch.depth["o"], batch.depth["d"], k_d,
                            train=True)
             loss = loss + d.sdepth_lambda * weighted_mse(
                 out_d.depth, batch.depth["target"][:, 0],
                 batch.depth["target"][:, 1])
+            if t.sigma_loss_weight > 0:
+                sig_loss = _sigma_depth_loss(
+                    cfg, coarse_model, fine_model, alpha, rparams,
+                    batch.depth, near, jax.random.fold_in(k_d, 1))
+                loss = loss + t.sigma_loss_weight * sig_loss
 
         sds_loss = jnp.zeros(())
         if guidance_fn is not None or (lpips_fn is not None and t.lpips):
@@ -395,7 +445,8 @@ def make_train_step_stage2(cfg: Config, coarse_model, fine_model,
             loss = loss + t.tv_loss_weight * cp_tv_loss(params)
 
         return loss, {"img_loss": img_loss, "depth_loss": depth_loss,
-                      "sds_loss": sds_loss, "psnr": mse2psnr(img_loss)}
+                      "sds_loss": sds_loss, "sigma_loss": sig_loss,
+                      "psnr": mse2psnr(img_loss)}
 
     constrain_rays = _make_ray_constraint(mesh, mesh_axis)
 

@@ -267,3 +267,62 @@ def test_downsample_padding_torch_oracle():
         ref = np.transpose(ref.numpy(), (0, 2, 3, 1))
         assert got.shape == ref.shape, (asym, got.shape, ref.shape)
         np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_progressive_ranges_schedule():
+    """progressive_view widens from the default view to the full range
+    (reference nerf/utils.py:264-273, r = min(1, init + 2·ratio))."""
+    import dataclasses as dc
+
+    from gbnerf_tpu.guidance.orchestrator import progressive_ranges
+
+    g = GuidanceConfig(progressive_view=True, progressive_view_init_ratio=0.2,
+                       exp_start_iter=0, exp_end_iter=1000,
+                       default_polar=90.0, default_azimuth=0.0,
+                       default_radius=3.25,
+                       theta_range=(45.0, 105.0), phi_range=(-180.0, 180.0),
+                       radius_range=(3.0, 3.5))
+    th0, ph0, _ = progressive_ranges(0, g, 1000)
+    # r = 0.2 at step 0: 20% of the way from the default center to full
+    assert abs(float(ph0[0]) - (-36.0)) < 1e-4
+    assert abs(float(th0[0]) - (90.0 * 0.8 + 45.0 * 0.2)) < 1e-4
+    thF, phF, radF = progressive_ranges(500, g, 1000)  # r = 1.2 → clamped 1
+    assert abs(float(phF[0]) - (-180.0)) < 1e-4
+    assert abs(float(thF[1]) - 105.0) < 1e-4
+    assert abs(float(radF[1]) - 3.5) < 1e-4
+    # off → static python tuples
+    g_off = dc.replace(g, progressive_view=False)
+    assert progressive_ranges(0, g_off, 1000) == (
+        g.theta_range, g.phi_range, g.radius_range)
+
+
+def test_perpneg_guidance_path(tiny_mods, key):
+    """gcfg.perpneg routes the RGB modality through azimuth-conditioned
+    Perp-Neg aggregation (rand_poses → adjust_text_embeddings →
+    sd_train_step_perpneg); loss differs from the plain CSD path, stays
+    finite, and is differentiable through the composite."""
+    import dataclasses as dc
+
+    gcfg, mods = tiny_mods
+    e = mods.embeds_rgb
+    mods_p = dc.replace(mods, embeds_dir={"front": e[2], "side": e[1],
+                                          "back": e[0]})
+    gcfg_p = dc.replace(gcfg, perpneg=True, progressive_view=True,
+                        is_normal_guidance=False)
+    gcfg_0 = dc.replace(gcfg, is_normal_guidance=False)
+    fn_p = make_guidance_fn(mods_p, gcfg_p, n_iters=1000)
+    fn_0 = make_guidance_fn(mods, gcfg_0, n_iters=1000)
+
+    H = W = 16
+    rgb = jax.random.uniform(key, (H, W, 3))
+    mask = jnp.ones((H, W))
+    k = jax.random.fold_in(key, 1)
+    lp = float(fn_p(jnp.asarray(10), rgb, None, mask, k))
+    l0 = float(fn_0(jnp.asarray(10), rgb, None, mask, k))
+    assert np.isfinite(lp) and lp != l0
+    # progressive_view makes the azimuth distribution step-dependent (the
+    # widening ranges change the same-rng draw)
+    lp2 = float(fn_p(jnp.asarray(900), rgb, None, mask, k))
+    assert np.isfinite(lp2) and lp2 != lp
+    g = jax.grad(lambda r: fn_p(jnp.asarray(10), r, None, mask, k))(rgb)
+    assert float(jnp.abs(g).max()) > 0

@@ -189,3 +189,85 @@ def test_nan_recovery_disabled_trains_through(tmp_path):
     scene = synthetic_scene()
     out = train(cfg, scene=scene)
     assert np.isfinite(float(out["history"][-1][1]["loss"]))
+
+
+def test_ndc_training_and_render(setup):
+    """no_ndc=False end-to-end: rays are NDC-reparameterized inside the
+    render fn (reference run.py:1711-1723, near/far → 0/1) and a training
+    step optimizes. LLFF-forward-facing convention: rays look down −z."""
+    from gbnerf_tpu.train.step import make_render_fn
+
+    cfg, scene, banks, state, coarse, fine = setup
+    cfg = dataclasses.replace(
+        cfg, render=dataclasses.replace(cfg.render, no_ndc=False))
+
+    # hwf is mandatory for the NDC frustum
+    with pytest.raises(ValueError, match="hwf"):
+        make_render_fn(cfg, coarse, fine, scene.near, scene.far)
+
+    step = make_train_step_stage1(cfg, coarse, fine, scene.near, scene.far,
+                                  hwf=scene.hwf)
+    banks_dev = banks_to_device(banks)
+    rng = jax.random.PRNGKey(4)
+    first = None
+    for _ in range(30):
+        rng, k = jax.random.split(rng)
+        state, m = step(state, banks_dev, k)
+        if first is None:
+            first = float(m["img_loss"])
+    assert np.isfinite(float(m["loss"]))
+    assert float(m["img_loss"]) < first, (first, float(m["img_loss"]))
+
+    # the render fn itself maps world rays through NDC and stays finite
+    render = make_render_fn(cfg, coarse, fine, scene.near, scene.far,
+                            hwf=scene.hwf)
+    o = jnp.asarray(banks.rgb_clf.rays_o[:16])
+    d = jnp.asarray(banks.rgb_clf.rays_d[:16])
+    out = render(state.params, o, d, None, train=False)
+    assert bool(jnp.isfinite(out.rgb).all())
+
+
+def _fake_depth_gts(scene, n_pts=20):
+    rng = np.random.default_rng(3)
+    H, W, _ = scene.hwf
+    gts = []
+    for _ in range(len(scene.images)):
+        coord = np.stack([rng.uniform(0, W - 1, n_pts),
+                          rng.uniform(0, H - 1, n_pts)], -1)
+        gts.append({"coord": coord.astype(np.float32),
+                    "depth": rng.uniform(1.0, 3.0, n_pts).astype(np.float32),
+                    "weight": np.ones(n_pts, np.float32)})
+    return gts
+
+
+def test_sigma_loss_wired_stage1_and_stage2(setup):
+    """train.sigma_loss_weight wires the DS-NeRF σ-likelihood on the COLMAP
+    depth rays into BOTH steps (reference builds SigmaLoss at
+    run.py:2122-2124; its shipped loop never sums the extra into the loss —
+    divergence documented at step.py::_sigma_depth_loss)."""
+    cfg, scene, banks, state, coarse, fine = setup
+    banks = build_ray_banks(scene.images, scene.masks,
+                            scene.inpainted_depths, scene.poses,
+                            scene.hwf[2], _fake_depth_gts(scene))
+    banks_dev = banks_to_device(banks)
+    cfg = dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(cfg.data, colmap_depth=True),
+        train=dataclasses.replace(cfg.train, sigma_loss_weight=0.1))
+    cfg0 = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, sigma_loss_weight=0.0))
+
+    step = make_train_step_stage1(cfg, coarse, fine, scene.near, scene.far)
+    step0 = make_train_step_stage1(cfg0, coarse, fine, scene.near, scene.far)
+    _, m = step(state, banks_dev, jax.random.PRNGKey(5))
+    _, m0 = step0(state, banks_dev, jax.random.PRNGKey(5))
+    assert float(m["sigma_loss"]) != 0.0
+    assert float(m0["sigma_loss"]) == 0.0
+    assert float(m["loss"]) != float(m0["loss"])  # the knob changes behavior
+
+    step2 = make_train_step_stage2(cfg, coarse, fine, scene.near, scene.far,
+                                   scene.hwf, guidance_fn=None)
+    _, m2 = step2(state, scene_to_device(scene, banks), banks_dev,
+                  jax.random.PRNGKey(6))
+    assert float(m2["sigma_loss"]) != 0.0
+    assert np.isfinite(float(m2["loss"]))
