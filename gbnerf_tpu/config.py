@@ -113,6 +113,15 @@ class GuidanceConfig:
     sd_weights_dir: Optional[str] = None
     sd_tiny: bool = False          # tiny random SD stack (tests/smoke)
     sd_allow_random: bool = False  # full-size SD with random init (benchmarks)
+    # Self-trained prior checkpoint (flax msgpack of {unet, vae, embeds_rgb,
+    # embeds_normal} from tools/train_tiny_prior.py) — the weights-free
+    # analog of the reference's LoRA scene prior; loaded over the sd_tiny
+    # stack for the guidance ablation.
+    sd_prior_ckpt: Optional[str] = None
+    # Guidance render/latent resolution override (default: 512 full SD,
+    # 64 tiny). The tiny prior trains at 128 → 16² latents so the SDS
+    # gradient has usable spatial resolution on small scenes.
+    sd_latent_size: Optional[int] = None
     prompt: str = ""
     prompt_normal: str = ""
     negative_prompt: str = ""
@@ -220,6 +229,10 @@ _FLAG_MAP = {
     "multires_views": ("field", "multires_views"),
     "use_viewdirs": ("field", "use_viewdirs"), "bound": ("field", "bound"),
     "alpha_model_path": ("field", "alpha_model_path"),
+    "n_levels": ("field", "n_levels"), "n_features": ("field", "n_features"),
+    "log2_hashmap_size": ("field", "log2_hashmap_size"),
+    "base_res": ("field", "base_res"),
+    "compute_dtype": ("field", "compute_dtype"),
     "field_type": ("field", "field_type"), "cp_rank": ("field", "cp_rank"),
     "cp_rank_coarse": ("field", "cp_rank_coarse"),
     "cp_resolutions_coarse": ("field", "cp_resolutions_coarse"),
@@ -238,6 +251,7 @@ _FLAG_MAP = {
     "depth_lambda": ("data", "depth_lambda"),
     "sdepth_lambda": ("data", "sdepth_lambda"),
     "half_res": ("data", "half_res"), "testskip": ("data", "testskip"),
+    "test_split_count": ("data", "test_split_count"),
     # guidance
     "guidance": ("guidance", "guidance"), "sd_version": ("guidance", "sd_version"),
     "model_path": ("guidance", "model_path"),
@@ -250,12 +264,17 @@ _FLAG_MAP = {
     "sds_loss_weight": ("guidance", "sds_loss_weight"),
     "use_csd": ("guidance", "use_csd"),
     "w1": ("guidance", "w1"), "w2": ("guidance", "w2"), "w3": ("guidance", "w3"),
+    "t_range": ("guidance", "t_range"),
+    "anneal_iters": ("guidance", "anneal_iters"),
+    "lora_rank": ("guidance", "lora_rank"),
     "normalmap_render_factor": ("guidance", "normalmap_render_factor"),
     "prompt": ("guidance", "prompt"),
     "negative_prompt": ("guidance", "negative_prompt"),
     "sd_weights_dir": ("guidance", "sd_weights_dir"),
     "sd_tiny": ("guidance", "sd_tiny"),
     "sd_allow_random": ("guidance", "sd_allow_random"),
+    "sd_prior_ckpt": ("guidance", "sd_prior_ckpt"),
+    "sd_latent_size": ("guidance", "sd_latent_size"),
     "perpneg": ("guidance", "perpneg"),
     "default_azimuth": ("guidance", "default_azimuth"),
     "default_polar": ("guidance", "default_polar"),
@@ -285,7 +304,11 @@ _FLAG_MAP = {
     "lrate": ("train", "lrate"), "lrate_decay": ("train", "lrate_decay"),
     "sigma_loss_weight": ("train", "sigma_loss_weight"),
     "lpips": ("train", "lpips"), "patch_len": ("train", "patch_len"),
+    "n_patches": ("train", "n_patches"),
+    "lpips_weight": ("train", "lpips_weight"),
     "lpips_weights": ("train", "lpips_weights"),
+    "seed": ("train", "seed"), "ema_decay": ("train", "ema_decay"),
+    "inpainted_depth_lambda": ("train", "inpainted_depth_lambda"),
     "gradient_clip": ("train", "gradient_clip"),
     "i_print": ("train", "i_print"), "i_weights": ("train", "i_weights"),
     "i_video": ("train", "i_video"), "i_evaluate": ("train", "i_evaluate"),

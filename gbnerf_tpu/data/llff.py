@@ -157,6 +157,10 @@ class LLFFScene:
     # scenes via images_*/test_gt/; absent in the SPIn-NeRF layout) — used
     # only for eval-PSNR observability, never for training.
     images_test: Optional[np.ndarray] = field(default=None)
+    # Optional test-view inpaint-region masks (test_gt/mask_*.png) enabling
+    # masked-region eval metrics — the quantity the guidance stage exists to
+    # improve. Never used for training.
+    masks_test: Optional[np.ndarray] = field(default=None)
 
 
 def load_poses_bounds(basedir: str):
@@ -319,13 +323,21 @@ def load_llff_data(
         inpainted_depths = np.zeros((n_img, H, W), np.float32)
 
     gtdir = os.path.join(os.path.dirname(mskdir), "test_gt")
-    images_test = None
+    images_test = masks_test = None
     if os.path.isdir(gtdir):
-        gtfiles = _list_images(gtdir)
+        allfiles = _list_images(gtdir)
+        gtfiles = [f for f in allfiles
+                   if not os.path.basename(f).startswith("mask")]
+        gtmasks = [f for f in allfiles
+                   if os.path.basename(f).startswith("mask")]
         if len(gtfiles) == n_test:
             images_test = np.stack(
                 [_imread(f)[..., :3].astype(np.float32) / 255.0
                  for f in gtfiles])
+            if len(gtmasks) == n_test:
+                masks_test = np.stack(
+                    [_load_mask_like(f, (H, W), normalize_max=True)
+                     for f in gtmasks]).astype(np.float32)
 
     return LLFFScene(
         images=images, masks=masks.astype(np.float32),
@@ -333,7 +345,7 @@ def load_llff_data(
         poses=poses_train, poses_test=poses_test, bds=bds,
         render_poses=render_poses, hwf=(H, W, focal),
         near=float(bds.min() * 0.9), far=float(bds.max() * 1.0),
-        images_test=images_test,
+        images_test=images_test, masks_test=masks_test,
     )
 
 

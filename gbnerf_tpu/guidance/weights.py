@@ -66,6 +66,13 @@ _VAE_RULES = [
     (r"(en|de)coder\.mid_block\.resnets\.(\d+)", r"\1coder.mid_resnets_\2"),
     (r"(en|de)coder\.mid_block\.attentions\.0", r"\1coder.mid_attentions_0"),
     (r"to_out\.0", r"to_out_0"),
+    # original SD1.x VAE dumps name the mid attention query/key/value/
+    # proj_attn; diffusers re-exports use to_q/to_k/to_v/to_out.0 — accept
+    # both (the reference's runwayml checkpoint ships the legacy names).
+    (r"mid_attentions_0\.query", r"mid_attentions_0.to_q"),
+    (r"mid_attentions_0\.key", r"mid_attentions_0.to_k"),
+    (r"mid_attentions_0\.value", r"mid_attentions_0.to_v"),
+    (r"mid_attentions_0\.proj_attn", r"mid_attentions_0.to_out_0"),
 ]
 
 _TEXT_RULES = [
@@ -113,6 +120,8 @@ def convert_state_dict(sd: Dict[str, np.ndarray], params: Dict, rules,
     out = copy.deepcopy(jax_tree_to_py(params))
     converted, unmatched = [], []
     for tkey, val in sd.items():
+        if tkey.endswith("position_ids"):
+            continue  # transformers buffer (arange), not a parameter
         fkey = _apply_rules(tkey, rules)
         parts = fkey.split(".")
         name, kind = parts[:-1], parts[-1]
@@ -232,3 +241,38 @@ def merge_lora_state_dict(base_sd: Dict[str, np.ndarray], lora_dir: str,
         n += 1
     print(f"[weights] merged {n} LoRA deltas (scale {scale})")
     return merged
+
+
+def save_prior_ckpt(path: str, mods) -> None:
+    """Serialize a self-trained prior (tools/train_tiny_prior.py) — the
+    weights-free analog of the reference's LoRA scene prior (SURVEY.md L6):
+    UNet/VAE params plus the prompt embeddings computed by the training
+    process's text tower (embeddings ship IN the ckpt so the consumer does
+    not depend on matching the trainer's text-init seed)."""
+    from flax import serialization
+
+    payload = {"unet": mods.unet_params, "vae": mods.vae_params,
+               "embeds_rgb": mods.embeds_rgb,
+               "embeds_normal": mods.embeds_normal}
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(payload))
+
+
+def load_prior_ckpt(path: str, mods):
+    """Restore a prior ckpt over freshly-initialized SDModules (shapes must
+    match — same UNet/VAE config + latent size as the trainer used).
+    Returns the updated SDModules."""
+    import dataclasses
+
+    from flax import serialization
+
+    target = {"unet": mods.unet_params, "vae": mods.vae_params,
+              "embeds_rgb": mods.embeds_rgb,
+              "embeds_normal": mods.embeds_normal}
+    with open(path, "rb") as f:
+        restored = serialization.from_bytes(target, f.read())
+    return dataclasses.replace(
+        mods, unet_params=restored["unet"], vae_params=restored["vae"],
+        embeds_rgb=jnp.asarray(restored["embeds_rgb"]),
+        embeds_normal=jnp.asarray(restored["embeds_normal"]))

@@ -124,19 +124,27 @@ def save_video(frames: np.ndarray, path: str, fps: int = 30) -> str:
         return gif
 
 
+def _psnr(mse: float) -> float:
+    return -10.0 * np.log10(max(mse, 1e-10))
+
+
 def dump_eval_images(maps: dict, outdir: str, *, gt: Optional[np.ndarray] = None,
-                     lpips_fn=None):
+                     lpips_fn=None, gt_masks: Optional[np.ndarray] = None):
     """Per-frame rgb/disp PNG dumps (reference eval_images_{i}/ layout).
 
-    Returns (mean_psnr, mean_lpips) over ground-truth views; each is None
-    when not computable. lpips_fn: optional utils.lpips.LPIPS instance —
-    the paper's quality metrics are PSNR + LPIPS (SURVEY.md §6).
+    Returns a metrics dict {psnr, lpips, psnr_masked, psnr_unmasked} of
+    means over ground-truth views; entries are None when not computable.
+    lpips_fn: optional utils.lpips.LPIPS instance — the paper's quality
+    metrics are PSNR + LPIPS (SURVEY.md §6). gt_masks: optional [N, H, W]
+    inpaint-region test masks (1 = inpainted) — psnr_masked restricts the
+    error to the inpainted region, the quantity the guidance stage exists
+    to improve (reference README.md:7).
     """
     import imageio.v2 as imageio
 
     os.makedirs(os.path.join(outdir, "rgb"), exist_ok=True)
     os.makedirs(os.path.join(outdir, "disp"), exist_ok=True)
-    psnrs, lpipss = [], []
+    psnrs, lpipss, m_psnrs, u_psnrs = [], [], [], []
     for k in range(len(maps["rgb"])):
         imageio.imwrite(os.path.join(outdir, "rgb", f"{k:03d}.png"),
                         to8b(maps["rgb"][k]))
@@ -144,13 +152,20 @@ def dump_eval_images(maps: dict, outdir: str, *, gt: Optional[np.ndarray] = None
         imageio.imwrite(os.path.join(outdir, "disp", f"{k:03d}.png"),
                         to8b(disp / max(disp.max(), 1e-8)))
         if gt is not None:
-            mse = float(np.mean((maps["rgb"][k] - gt[k]) ** 2))
-            psnrs.append(-10.0 * np.log10(max(mse, 1e-10)))
+            err = (maps["rgb"][k] - gt[k]) ** 2
+            psnrs.append(_psnr(float(np.mean(err))))
+            if gt_masks is not None and gt_masks[k].max() > 0:
+                m = gt_masks[k][..., None] > 0.5
+                m_psnrs.append(_psnr(float(np.mean(err[np.broadcast_to(
+                    m, err.shape)]))))
+                u_psnrs.append(_psnr(float(np.mean(err[np.broadcast_to(
+                    ~m, err.shape)]))))
             if lpips_fn is not None:
                 import jax.numpy as jnp
 
                 lpipss.append(float(np.mean(np.asarray(lpips_fn(
                     jnp.asarray(maps["rgb"][k])[None],
                     jnp.asarray(gt[k])[None])))))
-    return (float(np.mean(psnrs)) if psnrs else None,
-            float(np.mean(lpipss)) if lpipss else None)
+    mean = lambda xs: float(np.mean(xs)) if xs else None
+    return {"psnr": mean(psnrs), "lpips": mean(lpipss),
+            "psnr_masked": mean(m_psnrs), "psnr_unmasked": mean(u_psnrs)}

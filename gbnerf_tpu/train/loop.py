@@ -229,15 +229,23 @@ def train(cfg: Config, *, guidance_fn=None,
                       vae_config=VAEConfig.tiny(),
                       text_config=CLIPTextConfig(
                           vocab_size=49408, width=32, layers=2, heads=2),
-                      latent_size=64, dtype=jnp.float32)
+                      latent_size=g.sd_latent_size or 64, dtype=jnp.float32)
+        elif g.sd_latent_size:
+            kw = dict(latent_size=g.sd_latent_size)
         mods = build_sd_modules(g, k_sd, weights_dir=g.sd_weights_dir, **kw)
+        if g.sd_prior_ckpt:
+            from ..guidance.weights import load_prior_ckpt
+
+            mods = load_prior_ckpt(g.sd_prior_ckpt, mods)
         guidance_fn = make_guidance_fn(mods, g, n_iters=t.N_iters)
         from ..guidance.stable import guidance_params
 
         gparams = guidance_params(mods)
+        wsrc = ("prior-ckpt" if g.sd_prior_ckpt
+                else "loaded" if g.sd_weights_dir else "random")
         print(f"[guidance] SD stack ready "
               f"({'tiny' if g.sd_tiny else 'SD1.5-inpaint'}, "
-              f"weights={'loaded' if g.sd_weights_dir else 'random'})")
+              f"weights={wsrc})")
     elif (guidance_fn is None and not t.first_stage
           and "SD" in g.guidance
           and (g.is_rgb_guidance or g.is_normal_guidance)):
@@ -302,6 +310,7 @@ def train(cfg: Config, *, guidance_fn=None,
 
     t0 = time.time()
     history = []
+    last_eval = None
     nan_restores = 0
     for i in range(start, t.N_iters):
         rng, key = jax.random.split(rng)
@@ -378,18 +387,28 @@ def train(cfg: Config, *, guidance_fn=None,
                                     scene.hwf,
                                     render_factor=max(t.render_factor, 1))
             gt = scene.images_test if t.render_factor <= 1 else None
+            gt_masks = (getattr(scene, "masks_test", None)
+                        if t.render_factor <= 1 else None)
             # eval LPIPS only with REAL VGG weights — random-feature
             # distances would masquerade as a paper metric.
-            eval_psnr, eval_lpips = dump_eval_images(
+            em = dump_eval_images(
                 maps, os.path.join(expdir, f"eval_images_{i + 1}"), gt=gt,
-                lpips_fn=lpips_fn if t.lpips_weights else None)
-            if eval_psnr is not None:
-                lp = (f" lpips={eval_lpips:.4f}"
-                      if eval_lpips is not None else "")
-                print(f"[{i + 1}/{t.N_iters}] eval_psnr={eval_psnr:.2f}{lp} "
-                      f"(held-out, {len(scene.poses_test)} views)")
+                lpips_fn=lpips_fn if t.lpips_weights else None,
+                gt_masks=gt_masks)
+            if em["psnr"] is not None:
+                extra = "".join(
+                    f" {k}={em[k]:.4g}" for k in
+                    ("lpips", "psnr_masked", "psnr_unmasked")
+                    if em[k] is not None)
+                print(f"[{i + 1}/{t.N_iters}] eval_psnr={em['psnr']:.2f}"
+                      f"{extra} (held-out, {len(scene.poses_test)} views)")
+                last_eval = {f"eval_{k}": v for k, v in em.items()
+                             if v is not None}
+                with open(os.path.join(expdir, "metrics.jsonl"), "a") as fh:
+                    fh.write(json.dumps({"iter": i + 1, **last_eval}) + "\n")
 
     ckpt.save(int(state.step), jax.device_get(state))
     ckpt.close()
     return {"state": state, "render_fn": render_fn, "scene": scene,
-            "history": history, "ema_params": ema_params}
+            "history": history, "ema_params": ema_params,
+            "last_eval": last_eval}

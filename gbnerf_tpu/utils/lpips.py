@@ -50,7 +50,15 @@ class VGG16Features(nn.Module):
 class LPIPS:
     def __init__(self, rng, weights: Optional[dict] = None):
         self.net = VGG16Features()
+        self.lins = None
         if weights is not None:
+            weights = dict(weights)
+            # learned per-channel stage weights (lpips-package lin heads,
+            # converted by tools/convert_vgg.py) ride alongside the conv
+            # params as top-level lin_{k} vectors
+            lins = [weights.pop(f"lin_{k}", None) for k in range(5)]
+            if all(l is not None for l in lins):
+                self.lins = [jnp.asarray(l) for l in lins]
             self.params = weights
         else:
             self.params = jax.jit(self.net.init)(
@@ -69,22 +77,34 @@ class LPIPS:
         fa = self.net.apply({"params": self.params}, a)
         fb = self.net.apply({"params": self.params}, b)
         total = 0.0
-        for x, y in zip(fa, fb):
+        for k, (x, y) in enumerate(zip(fa, fb)):
             x = x / jnp.maximum(
                 jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-8)
             y = y / jnp.maximum(
                 jnp.linalg.norm(y, axis=-1, keepdims=True), 1e-8)
-            total = total + jnp.mean((x - y) ** 2, axis=(1, 2, 3))
+            d2 = (x - y) ** 2
+            if self.lins is not None:
+                # standard LPIPS: 1×1 conv with learned non-negative
+                # per-channel weights, then spatial mean
+                total = total + jnp.mean(jnp.sum(self.lins[k] * d2, -1),
+                                         axis=(1, 2))
+            else:
+                # uniform fallback (documented approximation): channel mean
+                total = total + jnp.mean(d2, axis=(1, 2, 3))
         return total
 
 
 def load_vgg16_npz(path: str) -> dict:
-    """Load converted VGG16 weights ({conv_i: {kernel, bias}} npz)."""
+    """Load converted VGG16 weights (tools/convert_vgg.py npz:
+    conv_{i}/kernel, conv_{i}/bias, optional flat lin_{k} stage vectors)."""
     import numpy as np
 
     data = np.load(path)
     params = {}
     for key in data.files:
+        if "/" not in key:                 # lin_{k} stage-weight vectors
+            params[key] = jnp.asarray(data[key])
+            continue
         name, leaf = key.rsplit("/", 1)
         params.setdefault(name, {})[leaf] = jnp.asarray(data[key])
     return params

@@ -117,24 +117,37 @@ def test_cp_tv_loss(key):
 
 
 def test_dump_eval_images_reports_psnr_and_lpips(tmp_path, rng):
-    """dump_eval_images returns (psnr, lpips); lpips only when a metric fn
-    is supplied (paper metrics are PSNR + LPIPS, SURVEY.md §6)."""
+    """dump_eval_images returns a metrics dict; lpips only when a metric fn
+    is supplied (paper metrics are PSNR + LPIPS, SURVEY.md §6); masked /
+    unmasked PSNR only when test masks are supplied."""
     from gbnerf_tpu.train.eval import dump_eval_images
 
     maps = {"rgb": rng.random((2, 8, 12, 3)).astype(np.float32),
             "disp": rng.random((2, 8, 12)).astype(np.float32)}
     gt = rng.random((2, 8, 12, 3)).astype(np.float32)
 
-    psnr, lp = dump_eval_images(maps, str(tmp_path / "e1"), gt=gt)
-    assert psnr is not None and lp is None
+    m1 = dump_eval_images(maps, str(tmp_path / "e1"), gt=gt)
+    assert m1["psnr"] is not None and m1["lpips"] is None
+    assert m1["psnr_masked"] is None
 
     def fake_lpips(a, b):
         return jnp.mean((a - b) ** 2, axis=(1, 2, 3))
 
-    psnr2, lp2 = dump_eval_images(maps, str(tmp_path / "e2"), gt=gt,
-                                  lpips_fn=fake_lpips)
-    assert abs(psnr2 - psnr) < 1e-6
-    assert lp2 is not None and lp2 > 0
+    m2 = dump_eval_images(maps, str(tmp_path / "e2"), gt=gt,
+                          lpips_fn=fake_lpips)
+    assert abs(m2["psnr"] - m1["psnr"]) < 1e-6
+    assert m2["lpips"] is not None and m2["lpips"] > 0
 
-    psnr3, lp3 = dump_eval_images(maps, str(tmp_path / "e3"))
-    assert psnr3 is None and lp3 is None
+    m3 = dump_eval_images(maps, str(tmp_path / "e3"))
+    assert m3["psnr"] is None and m3["lpips"] is None
+
+    # Masked metrics: perfect inside the mask, noisy outside → masked PSNR
+    # far above unmasked.
+    masks = np.zeros((2, 8, 12), np.float32)
+    masks[:, 2:5, 3:8] = 1.0
+    gt4 = maps["rgb"].copy()
+    out = masks[..., None] < 0.5
+    gt4[np.broadcast_to(out, gt4.shape)] = rng.random(int(out.sum() * 3))
+    m4 = dump_eval_images(maps, str(tmp_path / "e4"), gt=gt4, gt_masks=masks)
+    assert m4["psnr_masked"] is not None and m4["psnr_unmasked"] is not None
+    assert m4["psnr_masked"] > m4["psnr_unmasked"] + 20

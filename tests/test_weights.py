@@ -119,3 +119,155 @@ def test_text_converter_roundtrip(key):
     params = enc.init(key, np.zeros((1, 77), np.int32))["params"]
     assert_roundtrip(params, to_torch_sd(params, _INV_TEXT), _TEXT_RULES,
                      embed_keys=("token_embedding", "position_embedding"))
+
+
+def test_prior_ckpt_roundtrip(tmp_path):
+    """save_prior_ckpt/load_prior_ckpt: a trained tiny prior restores over a
+    DIFFERENT-seed fresh stack bit-exactly (params AND prompt embeds — the
+    embeds ship in the ckpt so the consumer need not match the trainer's
+    text-tower seed). Consumed by guidance.sd_prior_ckpt (train/loop.py)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gbnerf_tpu.config import GuidanceConfig
+    from gbnerf_tpu.guidance.stable import build_sd_modules
+    from gbnerf_tpu.guidance.text import CLIPTextConfig
+    from gbnerf_tpu.guidance.unet import UNetConfig
+    from gbnerf_tpu.guidance.vae import VAEConfig
+    from gbnerf_tpu.guidance.weights import load_prior_ckpt, save_prior_ckpt
+
+    kw = dict(unet_config=UNetConfig.tiny(), vae_config=VAEConfig.tiny(),
+              text_config=CLIPTextConfig(vocab_size=64, width=16, layers=1,
+                                         heads=2),
+              latent_size=64, dtype=jnp.float32)
+    gcfg = GuidanceConfig(prompt="sphere")
+    m1 = build_sd_modules(gcfg, jax.random.PRNGKey(0), **kw)
+    p = str(tmp_path / "prior.msgpack")
+    save_prior_ckpt(p, m1)
+
+    m2 = build_sd_modules(gcfg, jax.random.PRNGKey(7), **kw)
+    # different init seed → different params (some leaves are zero-init
+    # biases identical across seeds; any kernel leaf must differ)
+    assert any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(m1.unet_params),
+                        jax.tree_util.tree_leaves(m2.unet_params)))
+
+    m2 = load_prior_ckpt(p, m2)
+    for a, b in zip(jax.tree_util.tree_leaves(m1.unet_params),
+                    jax.tree_util.tree_leaves(m2.unet_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(m1.embeds_rgb),
+                                  np.asarray(m2.embeds_rgb))
+    np.testing.assert_array_equal(np.asarray(m1.embeds_normal),
+                                  np.asarray(m2.embeds_normal))
+
+
+def _tiny_stack():
+    import jax
+    import jax.numpy as jnp
+
+    from gbnerf_tpu.config import GuidanceConfig
+    from gbnerf_tpu.guidance.stable import build_sd_modules
+    from gbnerf_tpu.guidance.text import CLIPTextConfig
+    from gbnerf_tpu.guidance.unet import UNetConfig
+    from gbnerf_tpu.guidance.vae import VAEConfig
+
+    return build_sd_modules(
+        GuidanceConfig(prompt="sphere"), jax.random.PRNGKey(0),
+        unet_config=UNetConfig.tiny(), vae_config=VAEConfig.tiny(),
+        text_config=CLIPTextConfig(vocab_size=49408, width=32, layers=2,
+                                   heads=2),
+        latent_size=64, dtype=jnp.float32)
+
+
+@pytest.mark.parametrize("legacy_attn", [False, True])
+def test_fake_diffusers_ckpt_full_coverage(tmp_path, legacy_attn):
+    """The weights on-ramp proof (VERDICT r1 #5): a synthesized diffusers
+    checkpoint with the REAL torch key scheme (tools/make_fake_sd_ckpt.py,
+    derived from the diffusers naming rules — NOT from our flax trees)
+    converts with ZERO unmatched keys, covers EVERY flax leaf, and the
+    loaded stack runs a sane forward. legacy_attn exercises the original
+    SD1.x VAE query/key/value attention names the runwayml ckpt ships."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gbnerf_tpu.guidance.weights import (convert_state_dict, count_leaves,
+                                             load_sd_weights, _UNET_RULES)
+    from tools.make_fake_sd_ckpt import save_ckpt
+
+    d = str(tmp_path / "fake_sd")
+    save_ckpt(d, tiny=True, legacy_attn=legacy_attn)
+
+    mods = _tiny_stack()
+    # reach the text params: rebuild them the way build_sd_modules does
+    from gbnerf_tpu.guidance.text import CLIPTextConfig, CLIPTextEncoder
+
+    tcfg = CLIPTextConfig(vocab_size=49408, width=32, layers=2, heads=2)
+    text_model = CLIPTextEncoder(tcfg, dtype=jnp.float32)
+    text_params = jax.jit(text_model.init)(
+        jax.random.PRNGKey(2), jnp.zeros((1, 77), jnp.int32))["params"]
+
+    up, vp, tp = load_sd_weights(d, mods.unet_params, mods.vae_params,
+                                 text_params, strict=True)
+
+    # full coverage: every flax leaf received a torch tensor
+    for loaded, init in ((up, mods.unet_params), (vp, mods.vae_params),
+                         (tp, text_params)):
+        assert count_leaves(loaded) == count_leaves(init)
+        changed = sum(
+            not np.allclose(np.asarray(a), np.asarray(b))
+            for a, b in zip(jax.tree_util.tree_leaves(loaded),
+                            jax.tree_util.tree_leaves(init)))
+        assert changed == count_leaves(init), \
+            f"{count_leaves(init) - changed} leaves untouched by the ckpt"
+
+    # sanity forward through the loaded UNet + VAE
+    lat = mods.vae.apply({"params": vp}, jnp.ones((1, 64, 64, 3)) * 0.5,
+                         method="encode")
+    assert np.isfinite(np.asarray(lat)).all()
+    x = jnp.zeros((1, 8, 8, 9))
+    emb = jnp.zeros((1, 77, 32))
+    out = mods.unet.apply({"params": up}, x, jnp.asarray(10), emb)
+    assert out.shape == (1, 8, 8, 4)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_fake_peft_lora_merges(tmp_path):
+    """A synthesized PEFT-style LoRA safetensors dict merges into the torch
+    base dict: W ← W + (α/r)·B@A on the targeted projections
+    (reference train_dreambooth...py:631-652 trains rank 32 → scale 1)."""
+    import numpy as np
+
+    from safetensors.numpy import save_file
+
+    from gbnerf_tpu.guidance.weights import merge_lora_state_dict
+
+    rng = np.random.default_rng(0)
+    base = {
+        "down_blocks.0.attentions.0.transformer_blocks.0.attn1.to_q.weight":
+            rng.normal(0, 0.02, (32, 32)).astype(np.float32),
+        "down_blocks.0.attentions.0.transformer_blocks.0.attn1.to_k.weight":
+            rng.normal(0, 0.02, (32, 32)).astype(np.float32),
+    }
+    r = 4
+    lora = {}
+    for key in base:
+        stem = key[: -len(".weight")]
+        lora[f"base_model.model.{stem}.lora_A.weight"] = \
+            rng.normal(0, 0.1, (r, 32)).astype(np.float32)
+        lora[f"base_model.model.{stem}.lora_B.weight"] = \
+            rng.normal(0, 0.1, (32, r)).astype(np.float32)
+    d = tmp_path / "lora"
+    d.mkdir()
+    save_file(lora, str(d / "adapter_model.safetensors"))
+
+    merged = merge_lora_state_dict(base, str(d), rank=r)
+    for key in base:
+        stem = key[: -len(".weight")]
+        A = lora[f"base_model.model.{stem}.lora_A.weight"]
+        B = lora[f"base_model.model.{stem}.lora_B.weight"]
+        np.testing.assert_allclose(merged[key], base[key] + B @ A,
+                                   rtol=1e-5, atol=1e-6)

@@ -1,10 +1,26 @@
 #!/usr/bin/env python
-"""Generate a tiny synthetic LLFF/SPIn-NeRF-layout dataset for smoke tests.
+"""Generate a tiny synthetic LLFF/SPIn-NeRF-layout dataset for smoke tests
+and for the weights-free guidance ablation.
 
 Writes: poses_bounds.npy, images_4/RGB_inpainted/*.png, images_4/label/*.png,
 images_4/Depth_inpainted/*.png — the exact on-disk layout the reference
 loader (and ours) expects. The scene is a diffuse sphere at the origin viewed
 from a forward-facing arc, so renders have real parallax/depth structure.
+
+Tasks:
+  clean   (default) — the round-1 smoke scene: clean renders, a dummy
+          rectangular mask, clean-disparity depth maps.
+  inpaint — the SPIn-NeRF object-removal simulation: the photographed scene
+          contains an INTRUDER object; the training images are "2D-inpainted"
+          versions (clean background restored inside the intruder mask, then
+          corrupted per-view with a view-INCONSISTENT tint + low-frequency
+          noise + blur, mimicking what per-frame 2D inpainters produce);
+          the label masks are the dilated intruder silhouettes; the depth
+          maps are clean disparity (simulating depth inpainting); and
+          test_gt/ holds the CLEAN held-out views plus their intruder
+          silhouette masks (mask_*.png) for masked-region eval metrics.
+          Reference task setup: SPIn-NeRF data layout, /root/reference/
+          DS_NeRF/load_llff.py:436-476 (RGB_inpainted + label dirs).
 """
 from __future__ import annotations
 
@@ -12,6 +28,9 @@ import argparse
 import os
 
 import numpy as np
+
+MAIN_SPHERE = (np.zeros(3), 0.5, np.array([0.8, 0.35, 0.25]))
+INTRUDER = (np.array([0.45, -0.05, 0.95]), 0.22, np.array([0.2, 0.65, 0.3]))
 
 
 def look_at(pos, target=np.zeros(3), up=np.array([0.0, 1.0, 0.0])):
@@ -22,38 +41,110 @@ def look_at(pos, target=np.zeros(3), up=np.array([0.0, 1.0, 0.0])):
     return np.stack([x, y, z, pos], axis=1).astype(np.float32)  # [3,4]
 
 
-def render_sphere(H, W, focal, c2w, radius=0.5):
-    """Analytic render: lambertian sphere at origin on sky gradient."""
+def render_scene(H, W, focal, c2w, spheres=(MAIN_SPHERE,), *,
+                 light=(0.5, 0.7, 0.5), sky_tint=(0.6, 0.7, 0.9)):
+    """Analytic render of lambertian spheres on a sky gradient.
+
+    Returns (img [H,W,3], depth [H,W], hit_id [H,W] int — -1 = sky, else
+    index into `spheres` of the nearest hit).
+    """
     j, i = np.mgrid[0:H, 0:W].astype(np.float32)
     dirs = np.stack([(i - W / 2) / focal, -(j - H / 2) / focal,
                      -np.ones_like(i)], -1)
     rd = dirs @ c2w[:3, :3].T
     rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
     ro = c2w[:3, 3]
-    b = 2 * rd @ ro
-    c = ro @ ro - radius ** 2
-    disc = b ** 2 - 4 * c
-    hit = disc > 0
-    t = np.where(hit, (-b - np.sqrt(np.maximum(disc, 0))) / 2, np.inf)
-    pts = ro + t[..., None] * rd
-    n = pts / radius
-    light = np.array([0.5, 0.7, 0.5]); light /= np.linalg.norm(light)
-    lam = np.clip(n @ light, 0, 1)
-    albedo = np.array([0.8, 0.35, 0.25])
-    sky = np.stack([0.5 + 0.3 * rd[..., 1]] * 3, -1) * np.array([0.6, 0.7, 0.9])
-    img = np.where(hit[..., None], albedo * (0.2 + 0.8 * lam[..., None]), sky)
-    depth = np.where(hit, t, 4.0)
-    return img.astype(np.float32), depth.astype(np.float32)
+    light = np.asarray(light, np.float64); light = light / np.linalg.norm(light)
+
+    t_best = np.full((H, W), np.inf, np.float32)
+    hit_id = np.full((H, W), -1, np.int32)
+    img = np.stack([0.5 + 0.3 * rd[..., 1]] * 3, -1) * np.asarray(sky_tint)
+    for si, (center, radius, albedo) in enumerate(spheres):
+        oc = ro - np.asarray(center)
+        b = 2 * rd @ oc
+        c = oc @ oc - radius ** 2
+        disc = b ** 2 - 4 * c
+        hit = disc > 0
+        t = np.where(hit, (-b - np.sqrt(np.maximum(disc, 0))) / 2, np.inf)
+        closer = (t > 0) & (t < t_best)
+        # finite t only where used (miss rays carry inf; shading there is
+        # discarded by the `closer` select below)
+        pts = ro + np.where(closer, t, 0.0)[..., None] * rd
+        n = (pts - np.asarray(center)) / radius
+        lam = np.clip(n @ light, 0, 1)
+        shade = np.asarray(albedo) * (0.2 + 0.8 * lam[..., None])
+        img = np.where(closer[..., None], shade, img)
+        t_best = np.where(closer, t, t_best)
+        hit_id = np.where(closer, si, hit_id)
+    depth = np.where(np.isfinite(t_best), t_best, 4.0).astype(np.float32)
+    return img.astype(np.float32), depth, hit_id
+
+
+def render_sphere(H, W, focal, c2w, radius=0.5):
+    """Round-1 single-sphere API (kept for callers/tests)."""
+    img, depth, _ = render_scene(
+        H, W, focal, c2w, ((MAIN_SPHERE[0], radius, MAIN_SPHERE[2]),))
+    return img, depth
+
+
+def dilate(mask: np.ndarray, it: int = 2) -> np.ndarray:
+    """Binary dilation by `it` 4-neighborhood steps (numpy-only)."""
+    m = mask.astype(bool)
+    for _ in range(it):
+        m = (m | np.roll(m, 1, 0) | np.roll(m, -1, 0)
+             | np.roll(m, 1, 1) | np.roll(m, -1, 1))
+    return m
+
+
+def _box_blur(img: np.ndarray, it: int = 2) -> np.ndarray:
+    """Repeated 3×3 box blur (numpy-only, edge-clamped)."""
+    out = img.astype(np.float32)
+    for _ in range(it):
+        p = np.pad(out, ((1, 1), (1, 1), (0, 0)), mode="edge")
+        out = sum(p[1 + dy:p.shape[0] - 1 + dy, 1 + dx:p.shape[1] - 1 + dx]
+                  for dy in (-1, 0, 1) for dx in (-1, 0, 1)) / 9.0
+    return out
+
+
+def corrupt_inpainting(clean: np.ndarray, mask: np.ndarray,
+                       rng: np.random.Generator) -> np.ndarray:
+    """Simulate one frame of a per-view 2D inpainter: the masked region is
+    plausibly filled (we start from the clean background) but carries
+    view-INCONSISTENT artifacts — a random color tint, low-frequency noise,
+    and blur — which is exactly the inconsistency stage-2 guidance exists to
+    fix (SPIn-NeRF's motivation; reference README.md:7)."""
+    H, W = mask.shape
+    tint = rng.uniform(0.1, 0.9, 3).astype(np.float32)
+    # low-frequency noise: bilinear-upsampled coarse field
+    coarse = rng.uniform(-1, 1, (6, 8, 3)).astype(np.float32)
+    yy = np.linspace(0, coarse.shape[0] - 1, H)
+    xx = np.linspace(0, coarse.shape[1] - 1, W)
+    y0 = np.clip(yy.astype(int), 0, coarse.shape[0] - 2)
+    x0 = np.clip(xx.astype(int), 0, coarse.shape[1] - 2)
+    fy = (yy - y0)[:, None, None]
+    fx = (xx - x0)[None, :, None]
+    c00 = coarse[y0][:, x0]
+    c01 = coarse[y0][:, x0 + 1]
+    c10 = coarse[y0 + 1][:, x0]
+    c11 = coarse[y0 + 1][:, x0 + 1]
+    noise = ((1 - fy) * ((1 - fx) * c00 + fx * c01)
+             + fy * ((1 - fx) * c10 + fx * c11))
+    filled = 0.65 * clean + 0.35 * tint + 0.15 * noise
+    filled = _box_blur(filled, it=2)
+    m = mask[..., None].astype(np.float32)
+    return np.clip(clean * (1 - m) + filled * m, 0, 1)
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("out")
+    ap.add_argument("--task", choices=("clean", "inpaint"), default="clean")
     ap.add_argument("--n_train", type=int, default=6)
     ap.add_argument("--n_test", type=int, default=2)
     ap.add_argument("--H", type=int, default=48)
     ap.add_argument("--W", type=int, default=64)
     ap.add_argument("--factor", type=int, default=4)
+    ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
     import imageio.v2 as imageio
@@ -69,15 +160,25 @@ def main():
     train_slots = [s for s in range(n_total) if s not in test_slots]
     slot_order = test_slots + train_slots
     rows = []
-    imgs, depths = [], []
+    imgs, depths, masks = [], [], []
     for k in range(n_total):
         slot = slot_order[k]
         th = (slot / n_total - 0.5) * 0.9
         pos = np.array([2.5 * np.sin(th), 0.3 * np.sin(2 * th),
                         2.5 * np.cos(th)])
         c2w = look_at(pos)
-        img, depth = render_sphere(H, W, focal, c2w)
-        imgs.append(img); depths.append(depth)
+        # Clean scene (the ground truth "after object removal").
+        img, depth, _ = render_scene(H, W, focal, c2w)
+        if args.task == "inpaint":
+            # The photographed scene contains the intruder; its silhouette
+            # (dilated) is the inpaint mask.
+            _, _, hid = render_scene(H, W, focal, c2w,
+                                     (MAIN_SPHERE, INTRUDER))
+            mask = dilate(hid == 1, it=2).astype(np.uint8)
+        else:
+            mask = np.zeros((H, W), np.uint8)
+            mask[H // 3: H // 2, W // 3: W // 2] = 1
+        imgs.append(img); depths.append(depth); masks.append(mask)
         # LLFF storage convention: [-u, r, -t] columns + hwf; inverse of the
         # loader's [r, u, -t] fix. Full-res h/w/f = factor × downsampled.
         store = np.concatenate(
@@ -99,18 +200,25 @@ def main():
     for k in range(args.n_test):
         img8 = (np.clip(imgs[k], 0, 1) * 255).astype(np.uint8)
         imageio.imwrite(os.path.join(sub, "test_gt", f"img_{k:03d}.png"), img8)
+        if args.task == "inpaint":
+            # Test-view intruder masks → masked-region eval metrics.
+            imageio.imwrite(os.path.join(sub, "test_gt", f"mask_{k:03d}.png"),
+                            masks[k] * 255)
     # Train images only in the asset dirs (test poses lead poses_bounds).
+    rng = np.random.default_rng(args.seed)
     for k in range(args.n_test, n_total):
         name = f"img_{k:03d}.png"
-        img8 = (np.clip(imgs[k], 0, 1) * 255).astype(np.uint8)
+        train_img = imgs[k]
+        if args.task == "inpaint":
+            train_img = corrupt_inpainting(imgs[k], masks[k], rng)
+        img8 = (np.clip(train_img, 0, 1) * 255).astype(np.uint8)
         imageio.imwrite(os.path.join(sub, "RGB_inpainted", name), img8)
-        mask = np.zeros((H, W), np.uint8)
-        mask[H // 3: H // 2, W // 3: W // 2] = 255
-        imageio.imwrite(os.path.join(sub, "label", name), mask)
+        imageio.imwrite(os.path.join(sub, "label", name), masks[k] * 255)
         disp = 1.0 / np.maximum(depths[k], 1e-3)
         disp8 = (disp / disp.max() * 255).astype(np.uint8)
         imageio.imwrite(os.path.join(sub, "Depth_inpainted", name), disp8)
-    print(f"wrote {n_total} poses ({args.n_test} test) to {args.out}")
+    print(f"wrote {n_total} poses ({args.n_test} test, task={args.task}) "
+          f"to {args.out}")
 
 
 if __name__ == "__main__":
