@@ -174,6 +174,83 @@ def read_images_text(path: str) -> Dict[int, Image]:
     return images
 
 
+def read_points3d_text(path: str) -> Dict[int, Point3D]:
+    points = {}
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split()
+            pid = int(parts[0])
+            track = np.array(parts[8:], dtype=np.int64).reshape(-1, 2) \
+                if len(parts) > 8 else np.zeros((0, 2), np.int64)
+            points[pid] = Point3D(
+                pid, np.array(parts[1:4], np.float64),
+                np.array(parts[4:7], np.uint8), float(parts[7]),
+                track[:, 0].astype(np.int32), track[:, 1].astype(np.int32))
+    return points
+
+
+def write_cameras_text(cams: Dict[int, Camera], path: str) -> None:
+    """COLMAP cameras.txt (parity: read_write_model.py write_cameras_text;
+    same '# Camera list ...' header scheme)."""
+    with open(path, "w") as f:
+        f.write("# Camera list with one line of data per camera:\n"
+                "#   CAMERA_ID, MODEL, WIDTH, HEIGHT, PARAMS[]\n"
+                f"# Number of cameras: {len(cams)}\n")
+        for cam in cams.values():
+            params = " ".join(repr(float(p)) for p in cam.params)
+            f.write(f"{cam.id} {cam.model} {cam.width} {cam.height} "
+                    f"{params}\n")
+
+
+def write_images_text(images: Dict[int, Image], path: str) -> None:
+    """COLMAP images.txt: two lines per image (pose head, 2D-point track)."""
+    with open(path, "w") as f:
+        f.write("# Image list with two lines of data per image:\n"
+                "#   IMAGE_ID, QW, QX, QY, QZ, TX, TY, TZ, CAMERA_ID, NAME\n"
+                "#   POINTS2D[] as (X, Y, POINT3D_ID)\n"
+                f"# Number of images: {len(images)}\n")
+        for im in images.values():
+            head = [im.id, *im.qvec, *im.tvec, im.camera_id, im.name]
+            f.write(" ".join(str(h) for h in head) + "\n")
+            pts = " ".join(f"{x} {y} {pid}" for (x, y), pid
+                           in zip(im.xys, im.point3D_ids))
+            f.write(pts + "\n")
+
+
+def write_points3d_text(points: Dict[int, Point3D], path: str) -> None:
+    """COLMAP points3D.txt: one line per point + (image_id, point2D_idx)
+    track pairs."""
+    with open(path, "w") as f:
+        f.write("# 3D point list with one line of data per point:\n"
+                "#   POINT3D_ID, X, Y, Z, R, G, B, ERROR, "
+                "TRACK[] as (IMAGE_ID, POINT2D_IDX)\n"
+                f"# Number of points: {len(points)}\n")
+        for p in points.values():
+            head = [p.id, *map(float, p.xyz), *map(int, p.rgb), p.error]
+            track = " ".join(f"{int(i)} {int(j)}" for i, j
+                             in zip(p.image_ids, p.point2D_idxs))
+            f.write(" ".join(str(h) for h in head) + " " + track + "\n")
+
+
+def write_model(cams, images, points, out_dir: str, ext: str = ".bin"):
+    """Write a COLMAP model dir in binary or text format (parity:
+    read_write_model.py write_model)."""
+    os.makedirs(out_dir, exist_ok=True)
+    if ext == ".bin":
+        write_cameras_binary(cams, os.path.join(out_dir, "cameras.bin"))
+        write_images_binary(images, os.path.join(out_dir, "images.bin"))
+        write_points3d_binary(points, os.path.join(out_dir, "points3D.bin"))
+    elif ext == ".txt":
+        write_cameras_text(cams, os.path.join(out_dir, "cameras.txt"))
+        write_images_text(images, os.path.join(out_dir, "images.txt"))
+        write_points3d_text(points, os.path.join(out_dir, "points3D.txt"))
+    else:
+        raise ValueError(f"unknown model ext {ext!r} (use '.bin' or '.txt')")
+
+
 def write_cameras_binary(cams: Dict[int, Camera], path: str) -> None:
     with open(path, "wb") as f:
         f.write(struct.pack("<Q", len(cams)))
@@ -240,9 +317,10 @@ def read_model(sparse_dir: str):
         return (read_cameras_binary(os.path.join(sparse_dir, "cameras.bin")),
                 read_images_binary(os.path.join(sparse_dir, "images.bin")),
                 read_points3d_binary(os.path.join(sparse_dir, "points3D.bin")))
+    pts_txt = os.path.join(sparse_dir, "points3D.txt")
     return (read_cameras_text(os.path.join(sparse_dir, "cameras.txt")),
             read_images_text(os.path.join(sparse_dir, "images.txt")),
-            {})
+            read_points3d_text(pts_txt) if os.path.exists(pts_txt) else {})
 
 
 def image_w2c(im: Image) -> Tuple[np.ndarray, np.ndarray]:

@@ -106,3 +106,43 @@ def test_colmap_and_sensor_depth_loaders(tmp_path, rng):
     depth2 = load_sensor_depth(str(tmp_path), factor=4)
     assert len(depth2) >= len(depth1)    # no test-split offset → ≥ coverage
     assert (tmp_path / "colmap_depth.npy").exists()
+
+
+def test_colmap_text_model_roundtrip(tmp_path, rng):
+    """write_model('.txt') → read_model restores cameras/images/points3D
+    exactly (reference read_write_model.py write_*_text parity; the text
+    fallback previously dropped points3D)."""
+    from gbnerf_tpu.data.colmap import read_model, write_model
+
+    make_synthetic_colmap(tmp_path, rng)
+    sparse = str(tmp_path / "sparse" / "0")
+    cams, images, points = read_model(sparse)
+    assert points                        # binary read has the points
+
+    txt_dir = str(tmp_path / "sparse_txt")
+    write_model(cams, images, points, txt_dir, ext=".txt")
+    for f in ("cameras.txt", "images.txt", "points3D.txt"):
+        assert os.path.exists(os.path.join(txt_dir, f))
+
+    cams2, images2, points2 = read_model(txt_dir)
+    assert cams2.keys() == cams.keys()
+    for cid in cams:
+        a, b = cams[cid], cams2[cid]
+        assert (a.model, a.width, a.height) == (b.model, b.width, b.height)
+        np.testing.assert_allclose(a.params, b.params)
+    assert images2.keys() == images.keys()
+    for iid in images:
+        a, b = images[iid], images2[iid]
+        assert (a.name, a.camera_id) == (b.name, b.camera_id)
+        np.testing.assert_allclose(a.qvec, b.qvec)
+        np.testing.assert_allclose(a.tvec, b.tvec)
+        np.testing.assert_allclose(a.xys, b.xys)
+        np.testing.assert_array_equal(a.point3D_ids, b.point3D_ids)
+    assert points2.keys() == points.keys()
+    for pid in points:
+        a, b = points[pid], points2[pid]
+        np.testing.assert_allclose(a.xyz, b.xyz)
+        np.testing.assert_array_equal(a.rgb, b.rgb)
+        np.testing.assert_allclose(a.error, b.error)
+        np.testing.assert_array_equal(a.image_ids, b.image_ids)
+        np.testing.assert_array_equal(a.point2D_idxs, b.point2D_idxs)
