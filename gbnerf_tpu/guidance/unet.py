@@ -120,7 +120,7 @@ class UNet2DCondition(nn.Module):
                 h = Upsample2D(out_ch, dtype=self.dtype,
                                name=f"up_{i}_upsamplers_0")(h)
 
-        h = group_norm(h.shape[-1], name="conv_norm_out")(h)
+        h = group_norm(h.shape[-1], name="conv_norm_out", dtype=self.dtype)(h)
         h = nn.silu(h)
         h = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv_out")(h)

@@ -42,7 +42,8 @@ class VAEAttention(nn.Module):
     def __call__(self, x):
         b, h, w, c = x.shape
         res = x
-        x = group_norm(x.shape[-1], eps=1e-6, name="group_norm")(x)
+        x = group_norm(x.shape[-1], eps=1e-6, name="group_norm",
+                   dtype=self.dtype)(x)
         x = x.reshape(b, h * w, c)
         q = nn.Dense(c, dtype=self.dtype, name="to_q")(x)
         k = nn.Dense(c, dtype=self.dtype, name="to_k")(x)
@@ -74,7 +75,8 @@ class Encoder(nn.Module):
         h = ResnetBlock2D(ch, dtype=self.dtype, name="mid_resnets_0")(h)
         h = VAEAttention(dtype=self.dtype, name="mid_attentions_0")(h)
         h = ResnetBlock2D(ch, dtype=self.dtype, name="mid_resnets_1")(h)
-        h = group_norm(h.shape[-1], eps=1e-6, name="conv_norm_out")(h)
+        h = group_norm(h.shape[-1], eps=1e-6, name="conv_norm_out",
+                   dtype=self.dtype)(h)
         h = nn.silu(h)
         return nn.Conv(2 * cfg.latent_channels, (3, 3), padding=1,
                        dtype=self.dtype, name="conv_out")(h)
@@ -99,7 +101,8 @@ class Decoder(nn.Module):
             if i < len(cfg.block_out_channels) - 1:
                 h = Upsample2D(ch, dtype=self.dtype,
                                name=f"up_{i}_upsamplers_0")(h)
-        h = group_norm(h.shape[-1], eps=1e-6, name="conv_norm_out")(h)
+        h = group_norm(h.shape[-1], eps=1e-6, name="conv_norm_out",
+                   dtype=self.dtype)(h)
         h = nn.silu(h)
         return nn.Conv(3, (3, 3), padding=1, dtype=self.dtype,
                        name="conv_out")(h)

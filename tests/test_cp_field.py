@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -58,6 +59,7 @@ def test_cp_field_forward_and_grad(key):
                                np.asarray(out2[..., 3]), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_cp_field_can_overfit_a_density(key):
     # The field must be able to fit a simple spatial function quickly.
     model = CPGridField(bound=1.0, resolutions=(8, 16, 32), rank=8,
@@ -88,6 +90,7 @@ def test_cp_field_can_overfit_a_density(key):
     assert float(loss) < first * 0.1, (first, float(loss))
 
 
+@pytest.mark.slow
 def test_proposal_coarse_field_config():
     """cp_resolutions_coarse builds a smaller coarse field; render runs."""
     import jax

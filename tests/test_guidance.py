@@ -12,6 +12,10 @@ from gbnerf_tpu.guidance import (
     weighted_perpendicular_aggregator, rand_poses,
 )
 
+# Heavyweight module (SD stacks / SPMD compiles / training loops):
+# deselected from the default fast run (pytest.ini); run with -m slow.
+pytestmark = pytest.mark.slow
+
 
 # ---------- schedule ----------
 

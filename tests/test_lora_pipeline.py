@@ -13,6 +13,11 @@ from gbnerf_tpu.guidance.stable import sd_train_step_colla
 from gbnerf_tpu.guidance.clip_guidance import CLIPGuidance, CLIPVisionConfig
 from gbnerf_tpu.utils.lpips import LPIPS
 
+# Heavyweight module (SD stacks / SPMD compiles / training loops):
+# deselected from the default fast run (pytest.ini); run with -m slow.
+pytestmark = pytest.mark.slow
+
+
 
 @pytest.fixture(scope="module")
 def tiny_mods():

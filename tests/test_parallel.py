@@ -11,6 +11,11 @@ from gbnerf_tpu.parallel.sharded import (make_sharded_renderer,
 from gbnerf_tpu.train.state import create_train_state
 from gbnerf_tpu.train.step import make_render_fn
 
+# Heavyweight module (SD stacks / SPMD compiles / training loops):
+# deselected from the default fast run (pytest.ini); run with -m slow.
+pytestmark = pytest.mark.slow
+
+
 
 # function-scoped: the sharded step DONATES the state buffers (memory
 # hygiene in production); a shared fixture would hand later tests deleted

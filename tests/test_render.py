@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -67,6 +68,7 @@ def _tiny_field(key):
     return model, params
 
 
+@pytest.mark.slow
 def test_render_rays_shapes_and_finite(key):
     model, params = _tiny_field(key)
     fn = make_field_fn(model, params)
@@ -85,6 +87,7 @@ def test_render_rays_shapes_and_finite(key):
     assert out.z_std.shape == (N,)
 
 
+@pytest.mark.slow
 def test_render_rays_blocked_matches_direct(key):
     model, params = _tiny_field(key)
     fn = make_field_fn(model, params)

@@ -13,6 +13,11 @@ from gbnerf_tpu.train import (create_train_state, make_train_step_stage1,
                               make_train_step_stage2, CheckpointManager)
 from gbnerf_tpu.train.loop import banks_to_device, scene_to_device
 
+# Heavyweight module (SD stacks / SPMD compiles / training loops):
+# deselected from the default fast run (pytest.ini); run with -m slow.
+pytestmark = pytest.mark.slow
+
+
 
 def tiny_config(**train_kw):
     return Config(

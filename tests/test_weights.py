@@ -14,6 +14,10 @@ from gbnerf_tpu.guidance import (AutoencoderKL, CLIPTextConfig,
 from gbnerf_tpu.guidance.weights import (_TEXT_RULES, _UNET_RULES, _VAE_RULES,
                                          convert_state_dict)
 
+# Heavyweight module (SD stacks / SPMD compiles / training loops):
+# deselected from the default fast run (pytest.ini); run with -m slow.
+pytestmark = pytest.mark.slow
+
 _INV = [
     (r"down_(\d+)_resnets_(\d+)", r"down_blocks.\1.resnets.\2"),
     (r"down_(\d+)_attentions_(\d+)", r"down_blocks.\1.attentions.\2"),
