@@ -272,7 +272,13 @@ def load_prior_ckpt(path: str, mods):
               "embeds_normal": mods.embeds_normal}
     with open(path, "rb") as f:
         restored = serialization.from_bytes(target, f.read())
+    # from_bytes yields NUMPY leaves; as jit arguments those re-upload
+    # host→device EVERY step (~30 MB/s tunnel → measured 185 → 1.7 it/s
+    # in the ablation prior arm). Commit them to device arrays once.
+    import jax
+
+    restored = jax.tree_util.tree_map(jnp.asarray, restored)
     return dataclasses.replace(
         mods, unet_params=restored["unet"], vae_params=restored["vae"],
-        embeds_rgb=jnp.asarray(restored["embeds_rgb"]),
-        embeds_normal=jnp.asarray(restored["embeds_normal"]))
+        embeds_rgb=restored["embeds_rgb"],
+        embeds_normal=restored["embeds_normal"])

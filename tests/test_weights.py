@@ -159,6 +159,11 @@ def test_prior_ckpt_roundtrip(tmp_path):
                         jax.tree_util.tree_leaves(m2.unet_params)))
 
     m2 = load_prior_ckpt(p, m2)
+    # regression: from_bytes yields numpy leaves; as jit args those
+    # re-upload host→device every step (185 → 1.7 it/s measured through
+    # the tunnel) — the loader must commit them to device arrays.
+    assert all(isinstance(x, jax.Array) for x in
+               jax.tree_util.tree_leaves(m2.unet_params))
     for a, b in zip(jax.tree_util.tree_leaves(m1.unet_params),
                     jax.tree_util.tree_leaves(m2.unet_params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
