@@ -285,19 +285,30 @@ def train(cfg: Config, *, guidance_fn=None,
 
         mesh = Mesh(np.asarray(jax.devices()), ("data",))
         print(f"[mesh] data-parallel over {jax.device_count()} devices")
+    # step_extras ride as explicit arguments everywhere (design invariant:
+    # never closure-bake device arrays into a jitted program — the chunked
+    # dispatch below jits OVER raw_step, and captured banks would become
+    # baked-in constants).
     if t.first_stage:
         step_fn = make_train_step_stage1(cfg, coarse, fine, scene.near,
                                          scene.far, alpha=alpha, mesh=mesh,
                                          hwf=scene.hwf)
-        def do_step(state, key):
-            return step_fn(state, banks_dev, key, aparams)
+        step_extras = (banks_dev, aparams)
+
+        def raw_step(state, key, banks, ap):
+            return step_fn(state, banks, key, ap)
     else:
         step_fn = make_train_step_stage2(
             cfg, coarse, fine, scene.near, scene.far, scene.hwf,
             guidance_fn=guidance_fn, lpips_fn=lpips_fn, alpha=alpha,
             mesh=mesh)
-        def do_step(state, key):
-            return step_fn(state, scene_dev, banks_dev, key, gparams, aparams)
+        step_extras = (scene_dev, banks_dev, gparams, aparams)
+
+        def raw_step(state, key, scene_d, banks, gp, ap):
+            return step_fn(state, scene_d, banks, key, gp, ap)
+
+    def do_step(state, key):
+        return raw_step(state, key, *step_extras)
 
     # Optional EMA of params (capability parity with the reference's dead
     # stable-dreamfusion trainer, SURVEY.md §2.2 pgc.py).
@@ -308,13 +319,49 @@ def train(cfg: Config, *, guidance_fn=None,
         ema_update = jax.jit(lambda e, p: jax.tree_util.tree_map(
             lambda a, b: t.ema_decay * a + (1.0 - t.ema_decay) * b, e, p))
 
+    # Multi-step dispatch: K train steps as ONE lax.scan program
+    # (train.steps_per_dispatch). The last chunk shrinks to the next
+    # host-cadence boundary so prints/ckpts/evals land on the same
+    # iterations as the K=1 path.
+    k_disp = max(1, int(t.steps_per_dispatch))
+    if k_disp > 1:
+        import functools
+
+        @functools.partial(jax.jit, static_argnames="n")
+        def do_chunk(st, ema, rng, n, *extras):
+            def body(carry, key):
+                s, e = carry
+                s, metrics = raw_step(s, key, *extras)
+                if ema_update is not None:
+                    e = jax.tree_util.tree_map(
+                        lambda a, b: (t.ema_decay * a
+                                      + (1.0 - t.ema_decay) * b),
+                        e, s.params)
+                return (s, e), metrics
+            keys = jax.random.split(rng, n)
+            (st, ema), ms = jax.lax.scan(body, (st, ema), keys)
+            return st, ema, jax.tree_util.tree_map(lambda x: x[-1], ms)
+
+    cadences = [c for c in (t.i_print, t.i_weights, t.i_video,
+                            t.i_evaluate) if c and c > 0]
+
     t0 = time.time()
     history = []
     last_eval = None
     nan_restores = 0
-    for i in range(start, t.N_iters):
+    it = start
+    while it < t.N_iters:
         rng, key = jax.random.split(rng)
-        state, metrics = do_step(state, key)
+        if k_disp == 1:
+            it += 1
+            state, metrics = do_step(state, key)
+        else:
+            k = min([k_disp, t.N_iters - it]
+                    + [c - (it % c) for c in cadences])
+            it += k
+            state, ema_params, metrics = do_chunk(
+                state, ema_params, key, k, *step_extras)
+        i = it - 1          # cadence checks below use (i + 1) == it
 
         # Failure recovery (beyond reference, SURVEY.md §5): a non-finite
         # loss would poison params for every later step — restore the
@@ -343,7 +390,8 @@ def train(cfg: Config, *, guidance_fn=None,
                 ema_params = state.params
             rng = jax.random.fold_in(rng, 1000 + nan_restores)
             continue
-        if ema_update is not None:
+        if ema_update is not None and k_disp == 1:
+            # (k_disp > 1 applies the EMA inside the scanned chunk)
             ema_params = ema_update(ema_params, state.params)
 
         if (i + 1) % t.i_print == 0:

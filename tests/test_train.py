@@ -276,3 +276,31 @@ def test_sigma_loss_wired_stage1_and_stage2(setup):
                   jax.random.PRNGKey(6))
     assert float(m2["sigma_loss"]) != 0.0
     assert np.isfinite(float(m2["loss"]))
+
+
+def test_steps_per_dispatch_chunked_loop(tmp_path):
+    """train.steps_per_dispatch > 1: K steps run as one lax.scan dispatch;
+    cadences still land on the same iterations (prints in history), EMA is
+    maintained inside the chunk, and the run reaches the same step count
+    with finite, decreasing loss."""
+    from gbnerf_tpu.train.loop import train
+
+    scene = synthetic_scene()
+    kw = dict(N_iters=12, i_print=4, i_weights=1000, i_video=1000,
+              i_evaluate=1000, i_testset=1000, basedir=str(tmp_path),
+              ema_decay=0.9)
+    out1 = train(tiny_config(**kw, expname="k1", steps_per_dispatch=1),
+                 scene=scene)
+    outk = train(tiny_config(**kw, expname="k5", steps_per_dispatch=5),
+                 scene=scene)
+
+    assert int(outk["state"].step) == int(out1["state"].step) == 12
+    # history printed on the SAME iterations despite 5∤4 chunking
+    assert [it for it, _ in outk["history"]] == [4, 8, 12]
+    assert np.isfinite(float(outk["history"][-1][1]["loss"]))
+    # EMA maintained through the scan (exists, finite, tracks params shape)
+    assert outk["ema_params"] is not None
+    for a, b in zip(jax.tree_util.tree_leaves(outk["ema_params"]),
+                    jax.tree_util.tree_leaves(outk["state"].params)):
+        assert a.shape == b.shape
+        assert np.isfinite(np.asarray(a)).all()
