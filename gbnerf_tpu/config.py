@@ -76,7 +76,11 @@ class DataConfig:
     dataset_type: str = "llff"     # llff | blender | dtu
     factor: int = 4
     spherify: bool = False
-    llffhold: int = 8
+    # Hold out every Nth view as test when every pose has an image
+    # (reference run.py:804-806). 0 = off. Divergence, documented: the
+    # reference default (1000000) silently holds out view 0; we default
+    # to no holdout — the SPIn-NeRF split is inferred from asset counts.
+    llffhold: int = 0
     origin: bool = True            # use RGB_inpainted/ + label/ + Depth_inpainted/
     colmap_depth: bool = True
     depth_lambda: float = 0.1
@@ -161,7 +165,9 @@ class TrainConfig:
     seed: int = 0
     # loss weights
     sigma_loss_weight: float = 0.0
-    inpainted_depth_lambda: float = 0.1   # run.py:1483 0.1·mse(disp2, target_inp)
+    # (the reference's inpainted-depth term run.py:1502 is weighted by the
+    # SAME --depth_lambda as stage 1 → data.depth_lambda covers it; a
+    # separate knob here was a dead duplicate and was removed)
     lpips: bool = False
     lpips_weight: float = 0.01
     # Path to converted VGG16 weights (npz, utils/lpips.load_vgg16_npz).
@@ -317,7 +323,6 @@ _FLAG_MAP = {
     "lpips_weights": ("train", "lpips_weights"),
     "seed": ("train", "seed"), "ema_decay": ("train", "ema_decay"),
     "steps_per_dispatch": ("train", "steps_per_dispatch"),
-    "inpainted_depth_lambda": ("train", "inpainted_depth_lambda"),
     "gradient_clip": ("train", "gradient_clip"),
     "i_print": ("train", "i_print"), "i_weights": ("train", "i_weights"),
     "i_video": ("train", "i_video"), "i_evaluate": ("train", "i_evaluate"),

@@ -229,6 +229,7 @@ def load_llff_data(
     spherify: bool = False,
     origin: bool = True,
     test_split_count: int = 40,
+    llffhold: int = 0,
     load_images: bool = True,
 ) -> LLFFScene:
     """Load a SPIn-NeRF-style LLFF scene.
@@ -280,10 +281,26 @@ def load_llff_data(
     # for SPIn-NeRF, load_llff.py:449-450). The asset dirs hold only train
     # views, so the split size is inferred from the count difference — which
     # reproduces 40 on SPIn-NeRF (100 poses, 60 train images) and stays
-    # correct for any other scene layout.
+    # correct for any other scene layout. When every pose has an image (no
+    # implied split), `llffhold` holds out every Nth view (reference
+    # run.py:804-806 `i_test = arange[::llffhold]`), else `test_split_count`
+    # holds out the first K — both with the held-out images kept as eval GT.
     n_total = len(all_poses)
     n_test = n_total - len(imgfiles) if len(imgfiles) < n_total else 0
-    poses_test, poses_train = all_poses[:n_test], all_poses[n_test:]
+    i_test = None
+    if n_test == 0 and len(imgfiles) == n_total:
+        if 0 < llffhold < n_total:
+            i_test = np.arange(n_total)[::llffhold]
+        elif 0 < test_split_count < n_total:
+            i_test = np.arange(test_split_count)
+    if i_test is not None and len(i_test):
+        train_sel = np.ones(n_total, bool)
+        train_sel[i_test] = False
+        n_test = len(i_test)
+        poses_test, poses_train = all_poses[i_test], all_poses[train_sel]
+    else:
+        i_test = None
+        poses_test, poses_train = all_poses[:n_test], all_poses[n_test:]
 
     H, W = int(sh[0]), int(sh[1])
     focal = float(all_poses[0, 2, 4])
@@ -324,6 +341,13 @@ def load_llff_data(
 
     gtdir = os.path.join(os.path.dirname(mskdir), "test_gt")
     images_test = masks_test = None
+    if i_test is not None:
+        # index-based holdout: the held-out images ARE the eval ground
+        # truth; drop them (and their per-view assets) from training.
+        images_test = images[i_test]
+        images, masks = images[train_sel], masks[train_sel]
+        inpainted_depths = inpainted_depths[train_sel]
+        n_img = len(images)
     if os.path.isdir(gtdir):
         allfiles = _list_images(gtdir)
         gtfiles = [f for f in allfiles

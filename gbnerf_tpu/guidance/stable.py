@@ -78,6 +78,18 @@ def build_sd_modules(
     when absent, models are randomly initialized — the full pipeline stays
     runnable for tests/integration, quality needs real weights.
     """
+    # sd_version selects the prior architecture (reference sd_utils.py
+    # maps it to an HF repo id). Only the SD1.x-inpaint topology is
+    # implemented (the shipped GB-NeRF config uses the runwayml 1.5
+    # inpaint checkpoint); fail loudly on 2.x rather than mis-mapping
+    # weights onto a different attention/text-width layout.
+    ver = getattr(gcfg, "sd_version", "1.5") or "1.5"
+    if str(ver).startswith("2"):
+        raise NotImplementedError(
+            f"sd_version={ver!r}: only the SD1.x-inpaint architecture is "
+            "implemented (UNet 320/640/1280, CLIP ViT-L text width 768); "
+            "use sd_version=1.5 with an SD1.x checkpoint")
+
     ucfg = unet_config or UNetConfig.sd15_inpaint()
     vcfg = vae_config or VAEConfig()
     tcfg = text_config or CLIPTextConfig()

@@ -36,7 +36,8 @@ def load_scene(cfg: Config):
     if d.dataset_type == "llff":
         return load_llff_data(d.datadir, d.factor, spherify=d.spherify,
                               origin=d.origin,
-                              test_split_count=d.test_split_count)
+                              test_split_count=d.test_split_count,
+                              llffhold=d.llffhold)
     if d.dataset_type == "nerd":
         from ..data.llff import load_nerd_data
 
@@ -141,12 +142,17 @@ def render_only(cfg: Config) -> dict:
                else state.params)
     outdir = os.path.join(expdir, f"renderonly_{step:06d}")
     rf = max(t.render_factor, 1)
+    rblock = cfg.render.render_block
     if len(scene.poses_test):
         maps = render_pose_path(render_fn, eparams, scene.poses_test,
-                                scene.hwf, render_factor=rf)
+                                scene.hwf, render_factor=rf, block=rblock)
         dump_eval_images(maps, os.path.join(outdir, "test"))
-    maps = render_pose_path(render_fn, eparams, scene.render_poses,
-                            scene.hwf, render_factor=rf)
+    # --render_test renders the held-out poses instead of the spiral path
+    # (reference run.py:979-986).
+    path_poses = (scene.poses_test if t.render_test and len(scene.poses_test)
+                  else scene.render_poses)
+    maps = render_pose_path(render_fn, eparams, path_poses,
+                            scene.hwf, render_factor=rf, block=rblock)
     save_video(maps["rgb"], os.path.join(outdir, "spiral_rgb.mp4"))
     print(f"render_only: wrote {outdir}")
     return {"outdir": outdir, "step": step}
@@ -205,8 +211,26 @@ def train(cfg: Config, *, guidance_fn=None,
     state, coarse, fine = create_train_state(cfg, k_init)
 
     ckpt = CheckpointManager(os.path.join(expdir, "ckpt"))
-    if not t.no_reload:
+    if t.ft_path:
+        # Warm-start from a specific checkpoint (reference --ft_path takes
+        # precedence over the latest-ckpt scan, run.py:2075-2076). Accepts
+        # another run's ckpt dir, or .../ckpt/<step> to pin a step.
+        src = os.path.normpath(t.ft_path)
+        step_sel = None
+        if os.path.basename(src).isdigit():
+            step_sel, src = int(os.path.basename(src)), os.path.dirname(src)
+        ft = CheckpointManager(src)
+        state = ft.restore(state, step=step_sel)
+        ft.close()
+        print(f"[ckpt] warm-start from {t.ft_path} "
+              f"(step {int(state.step)})")
+    elif not t.no_reload:
         state = ckpt.restore(state)
+    # De-commit restored arrays to host: orbax restores them pinned to one
+    # device, which conflicts with the mesh sharding constraints inside the
+    # SPMD step on multi-device hosts; uncommitted arrays let the step's
+    # shardings place them.
+    state = jax.tree_util.tree_map(np.asarray, state)
     start = int(state.step)
 
     # Build the diffusion-prior guidance when stage 2 asks for it
@@ -343,7 +367,8 @@ def train(cfg: Config, *, guidance_fn=None,
             return st, ema, jax.tree_util.tree_map(lambda x: x[-1], ms)
 
     cadences = [c for c in (t.i_print, t.i_weights, t.i_video,
-                            t.i_evaluate) if c and c > 0]
+                            t.i_evaluate, t.i_testset) if c and c > 0]
+    rblock = cfg.render.render_block
 
     t0 = time.time()
     history = []
@@ -380,7 +405,9 @@ def train(cfg: Config, *, guidance_fn=None,
                   f"ckpt {prev if prev is not None else '(init)'} "
                   f"({nan_restores}/{t.nan_restarts})")
             if prev is not None:
-                state = ckpt.restore(state)
+                # de-commit to host (see restore note above)
+                state = jax.tree_util.tree_map(np.asarray,
+                                               ckpt.restore(state))
             else:
                 state, _, _ = create_train_state(cfg, jax.random.PRNGKey(
                     t.seed + nan_restores))
@@ -421,10 +448,20 @@ def train(cfg: Config, *, guidance_fn=None,
                 ckpt.save(i + 1, jax.device_get(state))
             else:
                 print(f"[ckpt] skip save at iter {i + 1}: non-finite loss")
+        if (i + 1) % t.i_testset == 0 and len(scene.poses_test):
+            # Reference testset dump (run.py:987-1007): plain rgb/disp
+            # renders of the held-out poses, no metrics (metrics happen on
+            # the i_evaluate cadence).
+            maps = render_pose_path(render_fn, eval_params(state.params),
+                                    scene.poses_test, scene.hwf,
+                                    render_factor=max(t.render_factor, 1),
+                                    block=rblock)
+            dump_eval_images(maps, os.path.join(expdir, f"testset_{i + 1}"))
         if (i + 1) % t.i_video == 0 and len(scene.render_poses):
             maps = render_pose_path(render_fn, eval_params(state.params),
                                     scene.render_poses, scene.hwf,
-                                    render_factor=max(t.render_factor, 1))
+                                    render_factor=max(t.render_factor, 1),
+                                    block=rblock)
             save_video(maps["rgb"], os.path.join(
                 expdir, f"spiral_{i + 1:06d}_rgb.mp4"))
             d = maps["disp"] / max(maps["disp"].max(), 1e-8)
@@ -433,7 +470,8 @@ def train(cfg: Config, *, guidance_fn=None,
             maps = render_pose_path(render_fn, eval_params(state.params),
                                     scene.poses_test,
                                     scene.hwf,
-                                    render_factor=max(t.render_factor, 1))
+                                    render_factor=max(t.render_factor, 1),
+                                    block=rblock)
             gt = scene.images_test if t.render_factor <= 1 else None
             gt_masks = (getattr(scene, "masks_test", None)
                         if t.render_factor <= 1 else None)

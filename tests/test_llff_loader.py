@@ -1,4 +1,5 @@
 """End-to-end loader regression on the synthetic LLFF-layout scene."""
+import os
 import subprocess
 import sys
 
@@ -134,3 +135,51 @@ def test_inpaint_corruption_masked_only():
     out = corrupt_inpainting(clean, mask, rng)
     np.testing.assert_array_equal(out[mask == 0], clean[mask == 0])
     assert np.abs(out[mask == 1] - clean[mask == 1]).mean() > 0.02
+
+
+def _write_minimal_llff(d, n=6, H=8, W=12):
+    """A bare LLFF dir where EVERY pose has an image (no implied split)."""
+    import imageio.v2 as imageio
+
+    rng = np.random.default_rng(3)
+    poses = []
+    for k in range(n):
+        th = 2 * np.pi * k / n
+        pos = np.array([2 * np.sin(th), 0.0, 2 * np.cos(th)])
+        z = pos / np.linalg.norm(pos)
+        up = np.array([0.0, 1.0, 0.0])
+        x = np.cross(up, z); x /= np.linalg.norm(x)
+        y = np.cross(z, x)
+        c2w = np.stack([-y, x, z, pos], 1)      # LLFF [down right back t]
+        hwf = np.array([[H * 4], [W * 4], [40.0]])
+        poses.append(np.concatenate([c2w, hwf], 1))
+    pb = np.concatenate(
+        [np.stack(poses).reshape(n, -1), np.tile([[1.0, 4.0]], (n, 1))], 1)
+    np.save(os.path.join(d, "poses_bounds.npy"), pb)
+    imgdir = os.path.join(d, "images_4", "RGB_inpainted")
+    os.makedirs(imgdir)
+    for k in range(n):
+        imageio.imwrite(os.path.join(imgdir, f"img_{k:03d}.png"),
+                        rng.integers(0, 255, (H, W, 3), dtype=np.uint8))
+
+
+def test_llffhold_interleaved_split(tmp_path):
+    """llffhold holds out every Nth view when all poses have images
+    (reference run.py:804-806), keeping held-out images as eval GT."""
+    _write_minimal_llff(str(tmp_path))
+    s = load_llff_data(str(tmp_path), factor=4, origin=True,
+                       test_split_count=0, llffhold=3)
+    assert len(s.poses_test) == 2 and len(s.poses) == 4   # views 0 and 3
+    assert s.images_test is not None and s.images_test.shape[0] == 2
+    assert s.images.shape[0] == 4
+
+    # test_split_count fallback: first K become test
+    s2 = load_llff_data(str(tmp_path), factor=4, origin=True,
+                        test_split_count=2, llffhold=0)
+    assert len(s2.poses_test) == 2 and len(s2.poses) == 4
+    assert s2.images_test.shape[0] == 2
+
+    # no holdout requested → all train (prior behavior)
+    s3 = load_llff_data(str(tmp_path), factor=4, origin=True,
+                        test_split_count=0, llffhold=0)
+    assert len(s3.poses_test) == 0 and len(s3.poses) == 6

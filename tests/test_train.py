@@ -1,4 +1,5 @@
 import dataclasses
+import os
 
 import numpy as np
 import jax
@@ -304,3 +305,45 @@ def test_steps_per_dispatch_chunked_loop(tmp_path):
                     jax.tree_util.tree_leaves(outk["state"].params)):
         assert a.shape == b.shape
         assert np.isfinite(np.asarray(a)).all()
+
+
+def test_ft_path_warm_start_and_i_testset(tmp_path):
+    """--ft_path warm-starts from another run's checkpoint (reference
+    run.py:2075-2076, takes precedence over the latest-ckpt scan);
+    i_testset dumps plain test-set renders (run.py:987-1007)."""
+    from gbnerf_tpu.train.loop import train
+
+    scene = synthetic_scene()
+    kw = dict(N_iters=6, i_print=3, i_weights=6, i_video=1000,
+              i_evaluate=1000, basedir=str(tmp_path))
+    out1 = train(tiny_config(**kw, expname="src", i_testset=1000),
+                 scene=scene)
+    assert int(out1["state"].step) == 6
+
+    cfg2 = tiny_config(N_iters=10, i_print=5, i_weights=1000, i_video=1000,
+                       i_evaluate=1000, i_testset=5, basedir=str(tmp_path),
+                       expname="warm",
+                       ft_path=str(tmp_path / "src" / "ckpt"))
+    out2 = train(cfg2, scene=scene)
+    # warm-start continued from step 6 → only 4 more iters ran
+    assert int(out2["state"].step) == 10
+    assert [it for it, _ in out2["history"]] == [10]
+    # i_testset cadence fired at 10 (testset dump, no metrics)
+    assert os.path.isdir(str(tmp_path / "warm" / "testset_10" / "rgb"))
+
+
+def test_sd_version_2x_rejected():
+    """Only the SD1.x-inpaint topology exists; 2.x must fail loudly
+    instead of mis-mapping weights (reference sd_utils.py version map)."""
+    from gbnerf_tpu.guidance.stable import build_sd_modules
+    from gbnerf_tpu.guidance.unet import UNetConfig
+    from gbnerf_tpu.guidance.vae import VAEConfig
+    from gbnerf_tpu.guidance.text import CLIPTextConfig
+
+    gcfg = dataclasses.replace(GuidanceConfig(), sd_version="2.1")
+    with pytest.raises(NotImplementedError, match="sd_version"):
+        build_sd_modules(gcfg, jax.random.PRNGKey(0),
+                         unet_config=UNetConfig.tiny(),
+                         vae_config=VAEConfig.tiny(),
+                         text_config=CLIPTextConfig.tiny(),
+                         latent_size=64)
