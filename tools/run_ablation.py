@@ -126,7 +126,8 @@ def main():
              "--H", "96", "--W", "128", "--n_train", "8", "--n_test", "2"],
             os.path.join(out, "scene.log"))
 
-    if "prior" in arms and not args.skip_prior and not os.path.exists(prior):
+    wants_prior = any(a.startswith("prior") for a in arms)
+    if wants_prior and not args.skip_prior and not os.path.exists(prior):
         run([py, "tools/train_tiny_prior.py", prior, "--res", "128",
              "--steps_unet", str(args.prior_steps)],
             os.path.join(out, "prior.log"))
@@ -153,6 +154,14 @@ def main():
         "rand": "is_rgb_guidance = True\nsd_tiny = True\n",
         "prior": ("is_rgb_guidance = True\nsd_tiny = True\n"
                   f"sd_prior_ckpt = {prior}\n"),
+        # The paper's actual novelty (geometric diffusion prior): RGB CSD
+        # + normal-map CSD from the same trained prior, normal anneal
+        # restarting at stage-2 entry (stable.py normal_start_iter).
+        "priorN": ("is_rgb_guidance = True\nis_normal_guidance = True\n"
+                   f"normal_start_iter = {args.iters1}\n"
+                   "normalmap_render_factor = 4\n"
+                   "sd_tiny = True\n"
+                   f"sd_prior_ckpt = {prior}\n"),
     }
     for arm in arms:
         if arm == "s1":

@@ -38,18 +38,31 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from tools.make_synthetic_scene import look_at, render_scene  # noqa: E402
 
 
-def make_domain_images(n: int, res: int, seed: int) -> np.ndarray:
+def make_domain_images(n: int, res: int, seed: int):
     """Random clean sphere-world renders (random albedo/radius/light/sky/
     camera) — a DOMAIN prior, not the target scene: the ablation scene's
     exact geometry/albedo is never shown, only the family it comes from.
 
     Rendered at the ablation scene's 3:4 aspect then stretched to res² —
     the guidance path resizes every render to a square (stable.py _resize),
-    so the prior must be trained under the same distortion."""
+    so the prior must be trained under the same distortion.
+
+    Returns (imgs, normal_maps), both [n, res, res, 3] in [0, 1]. The
+    normal maps go through the SAME functions the stage-2 guidance path
+    uses (train/step.py:396-399: depth → depth2xyz → depth2normal_geo →
+    (n+1)/2), so the prior's normal modality sees the pipeline's exact
+    visualization convention, un-normalized scale included."""
+    import jax.numpy as jnp
+
+    from gbnerf_tpu.core.normals import depth2normal_geo, depth2xyz
+
     rng = np.random.default_rng(seed)
     H, W = res * 3 // 4, res
     focal = 1.2 * W
+    K = jnp.asarray([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]],
+                    jnp.float32)
     imgs = np.empty((n, res, res, 3), np.float32)
+    nrms = np.empty((n, res, res, 3), np.float32)
     yy = (np.arange(res) * H / res).astype(int).clip(0, H - 1)
     for k in range(n):
         albedo = rng.uniform(0.1, 0.9, 3)
@@ -59,12 +72,17 @@ def make_domain_images(n: int, res: int, seed: int) -> np.ndarray:
         th = rng.uniform(-0.6, 0.6)
         el = rng.uniform(-0.25, 0.35)
         pos = np.array([2.5 * np.sin(th), el, 2.5 * np.cos(th)])
-        img, _, _ = render_scene(
+        img, depth, _ = render_scene(
             H, W, focal, look_at(pos),
             ((np.zeros(3), radius, albedo),), light=tuple(light),
             sky_tint=tuple(sky))
         imgs[k] = img[yy]                 # vertical stretch H → res
-    return imgs
+        d = np.nan_to_num(np.asarray(depth, np.float32),
+                          posinf=6.0).clip(0.1, 6.0)
+        nm = np.asarray(
+            (depth2normal_geo(depth2xyz(jnp.asarray(d), K)) + 1.0) / 2.0)
+        nrms[k] = nm[yy]
+    return imgs, nrms
 
 
 def make_domain_masks(n: int, res: int, seed: int) -> np.ndarray:
@@ -112,10 +130,14 @@ def main():
 
     print(f"[prior] generating {args.n_domain} domain images at "
           f"{args.res}² ...", flush=True)
-    imgs = jnp.asarray(make_domain_images(args.n_domain, args.res, args.seed)
-                       * 2.0 - 1.0)          # [-1, 1]
+    rgb_np, nrm_np = make_domain_images(args.n_domain, args.res, args.seed)
+    # Combined two-modality pool [2n]: first n RGB, last n normal maps
+    # (the reference's LoRA prior trains jointly on RGB + normal data with
+    # per-modality captions, train_dreambooth...py; embeds6 mirrors that).
+    imgs = jnp.asarray(np.concatenate([rgb_np, nrm_np]) * 2.0 - 1.0)
+    n_pool = 2 * args.n_domain
     masks = jnp.asarray(make_domain_masks(args.n_domain, args.res, args.seed))
-    embeds3 = mods.embeds_rgb                # [3, L, D]
+    embeds6 = jnp.concatenate([mods.embeds_rgb, mods.embeds_normal])  # [6,L,D]
 
     # ---- phase A: VAE autoencoder -------------------------------------
     tx_v = optax.adam(args.lr)
@@ -135,7 +157,7 @@ def main():
         def body(_, carry):
             vp, opt, rng = carry
             rng, k_b, k_l = jax.random.split(rng, 3)
-            idx = jax.random.randint(k_b, (args.batch,), 0, args.n_domain)
+            idx = jax.random.randint(k_b, (args.batch,), 0, n_pool)
             batch = jnp.take(imgs, idx, axis=0)
             loss, grads = jax.value_and_grad(vae_loss)(vp, batch, k_l)
             upd, opt = tx_v.update(grads, opt, vp)
@@ -144,7 +166,7 @@ def main():
             0, args.chunk, body, (vp, opt, rng))
         # one extra eval for logging (cheap relative to the chunk)
         k_b, k_l = jax.random.split(rng)
-        idx = jax.random.randint(k_b, (args.batch,), 0, args.n_domain)
+        idx = jax.random.randint(k_b, (args.batch,), 0, n_pool)
         return vp, opt, rng, vae_loss(vp, jnp.take(imgs, idx, 0), k_l)
 
     vp, opt = mods.vae_params, tx_v.init(mods.vae_params)
@@ -160,7 +182,7 @@ def main():
     # ---- phase B: UNet inpaint-denoiser -------------------------------
     tx_u = optax.adam(args.lr * 0.5)
 
-    def unet_loss(up, batch_img, batch_mask, rng):
+    def unet_loss(up, batch_img, batch_mask, batch_idx, rng):
         k_t, k_n, k_e1, k_e2, k_c = jax.random.split(rng, 5)
         B = batch_img.shape[0]
         enc = lambda x, k: mods.vae.apply({"params": vp}, x, k,
@@ -174,10 +196,14 @@ def main():
         noise = jax.random.normal(k_n, latents.shape)
         noisy = sched.add_noise(latents, noise, t)
         unet_in = jnp.concatenate([noisy, mask_l, mlat], axis=-1)
-        # uniform conditioning over the CFG triple: each arm of the CSD
-        # combine then sees the same (approximate) conditional score.
-        ei = jax.random.randint(k_c, (B,), 0, 3)
-        emb = jnp.take(embeds3, ei, axis=0)
+        # uniform conditioning over the CFG triple of the image's OWN
+        # modality (first n_domain pool entries are RGB → embeds_rgb
+        # triple, rest are normal maps → embeds_normal triple): each arm
+        # of the CSD combine sees the same (approximate) conditional
+        # score for its modality.
+        is_nrm = (batch_idx >= args.n_domain).astype(jnp.int32)
+        ei = 3 * is_nrm + jax.random.randint(k_c, (B,), 0, 3)
+        emb = jnp.take(embeds6, ei, axis=0)
         pred = mods.unet.apply({"params": up}, unet_in, t, emb)
         return jnp.mean((pred - noise) ** 2)
 
@@ -186,18 +212,19 @@ def main():
         def body(_, carry):
             up, opt, rng = carry
             rng, k_b, k_m, k_l = jax.random.split(rng, 4)
-            idx = jax.random.randint(k_b, (args.batch,), 0, args.n_domain)
+            idx = jax.random.randint(k_b, (args.batch,), 0, n_pool)
             midx = jax.random.randint(k_m, (args.batch,), 0, args.n_domain)
             loss, grads = jax.value_and_grad(unet_loss)(
-                up, jnp.take(imgs, idx, 0), jnp.take(masks, midx, 0), k_l)
+                up, jnp.take(imgs, idx, 0), jnp.take(masks, midx, 0), idx,
+                k_l)
             upd, opt = tx_u.update(grads, opt, up)
             return optax.apply_updates(up, upd), opt, rng
         up, opt, rng = jax.lax.fori_loop(0, args.chunk, body, (up, opt, rng))
         k_b, k_m, k_l = jax.random.split(rng, 3)
-        idx = jax.random.randint(k_b, (args.batch,), 0, args.n_domain)
+        idx = jax.random.randint(k_b, (args.batch,), 0, n_pool)
         midx = jax.random.randint(k_m, (args.batch,), 0, args.n_domain)
         return up, opt, rng, unet_loss(up, jnp.take(imgs, idx, 0),
-                                       jnp.take(masks, midx, 0), k_l)
+                                       jnp.take(masks, midx, 0), idx, k_l)
 
     up, opt = mods.unet_params, tx_u.init(mods.unet_params)
     t0 = time.time()
