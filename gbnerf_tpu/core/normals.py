@@ -42,18 +42,28 @@ def depth2xyz(depth, K):
 def _box_sum(x, k: int):
     """Windowed sum over k×k neighborhoods (zero padding), per channel.
 
-    x: [H, W, C] → [H, W, C] where out[i,j] = Σ_{|di|,|dj| ≤ k//2} x[i+di, j+dj].
-    Implemented as two cumulative-sum difference passes (integral image),
-    O(HW) independent of k.
+    x: [H, W, C] → [H, W, C] where out[i,j] = Σ_{|di|,|dj| ≤ k//2} x[i+di, j+dj]
+    over IN-BOUNDS entries (zero outside — torch.nn.functional.unfold
+    padding semantics, reference run.py:2462). Implemented as two
+    cumulative-sum difference passes (integral image), O(HW) independent
+    of k. The cumsum is front-padded with zeros and back-padded with its
+    LAST value (the saturated total) so windows overhanging the bottom /
+    right edges sum exactly the in-bounds entries — a zero back pad makes
+    edge windows negative, and k > extent zeroed entire central rows.
     """
     r = k // 2
 
     def along(axis, v):
         c = jnp.cumsum(v, axis=axis)
-        pad = [(0, 0)] * v.ndim
-        pad[axis] = (r + 1, r)
-        c = jnp.pad(c, pad)
         n = v.shape[axis]
+        zeros_shape = list(v.shape)
+        zeros_shape[axis] = r + 1
+        last = jnp.take(c, jnp.asarray([n - 1]), axis=axis)
+        reps = [1] * v.ndim
+        reps[axis] = r
+        c = jnp.concatenate(
+            [jnp.zeros(zeros_shape, v.dtype), c, jnp.tile(last, reps)],
+            axis=axis)
         hi = jnp.take(c, jnp.arange(n) + 2 * r + 1, axis=axis)
         lo = jnp.take(c, jnp.arange(n), axis=axis)
         return hi - lo
@@ -61,12 +71,22 @@ def _box_sum(x, k: int):
     return along(1, along(0, x))
 
 
-def depth2normal_geo(points, k: int = 31, eps: float = 1e-12):
+def depth2normal_geo(points, k: int = 31, eps: float = 1e-8):
     """Least-squares plane normals from a camera-space point map.
 
     Solves, per pixel, min_n ‖A n − 1‖² over the k×k window (A = stacked
     points): n = M⁻¹ s with M = Σ ppᵀ, s = Σ p. Like the reference, the
     result is NOT unit-normalized (callers map (n+1)/2 into RGB).
+
+    Differentiability: this feeds the normal-modality SDS (d normal /
+    d depth must exist). Two guards matter there — (1) the 1/det must use
+    the double-where trick or the backward is NaN whenever any window is
+    exactly singular (0·inf in the where cotangent; this nuked the
+    priorN ablation arm within 40 iters), and (2) the singularity floor
+    is RELATIVE to the matrix scale ((tr M / 3)³), not an absolute
+    1e-12: near-planar windows at small render resolutions otherwise
+    produce |n| ~ 10¹ forward values and 1/det² backward blowups.
+    Well-posed pixels are bit-identical to the plain solve.
 
     Args:
       points: [H, W, 3] camera-space point map.
@@ -90,7 +110,14 @@ def depth2normal_geo(points, k: int = 31, eps: float = 1e-12):
     c12 = mxy * mxz - mxx * myz
     c22 = mxx * myy - mxy * mxy
     det = mxx * c00 + mxy * c01 + mxz * c02
-    inv_det = jnp.where(jnp.abs(det) < eps, 0.0, 1.0 / det)
+    scale3 = ((mxx + myy + mzz) / 3.0) ** 3
+    # absolute 1e-12 lower bound keeps the floor a NORMAL f32 (eps·scale3
+    # can flush to 0 and then `<=` alone must catch exact-zero dets —
+    # all-zero windows happen when k exceeds the map extent)
+    floor = jnp.maximum(eps * scale3, 1e-12)
+    bad = jnp.abs(det) <= floor
+    safe_det = jnp.where(bad, 1.0, det)      # double-where: no 0·inf in bwd
+    inv_det = jnp.where(bad, 0.0, 1.0 / safe_det)
 
     nx = (c00 * sx + c01 * sy + c02 * sz) * inv_det
     ny = (c01 * sx + c11 * sy + c12 * sz) * inv_det

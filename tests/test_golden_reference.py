@@ -268,3 +268,67 @@ def test_spherify_golden(ref_llff, rng):
     np.testing.assert_allclose(b, np.asarray(bds_ref), atol=1e-5)
     np.testing.assert_allclose(np.asarray(rp)[:, :3, :4],
                                np.asarray(rp_ref)[:, :3, :4], atol=1e-4)
+
+
+def test_depth2normal_geo_golden(rng):
+    """depth2normal_geo vs the reference's unfold + AᵀA + inverse formula
+    (run.py:2458-2474), including edge windows (unfold zero-pads, so edge
+    pixels solve over in-bounds points only) and k larger than the map.
+    Well-posed pixels must match; our det-floored pixels are excluded."""
+    from gbnerf_tpu.core.normals import depth2normal_geo
+
+    def ref_normals(points, k):
+        # the reference formula, faithfully (torch.linalg.inv, f32)
+        p = torch.from_numpy(np.asarray(points, np.float32))
+        p = p.permute(2, 0, 1)[None]                     # b,3,h,w
+        B, C, H, W = p.shape
+        pm = torch.nn.functional.unfold(p, (k, k), padding=(k - 1) // 2)
+        A = pm.transpose(1, 2).reshape(B, H, W, C, k * k).transpose(-1, -2)
+        At = A.transpose(-1, -2)
+        M = At @ A
+        ones = torch.ones(B, H, W, k * k, 1)
+        n = (torch.linalg.inv(M) @ (At @ ones)).squeeze(-1)
+        return n[0].numpy()
+
+    for H, W, k in ((20, 26, 7), (24, 32, 31)):
+        xx, yy = np.meshgrid(np.linspace(-1, 1, W),
+                             np.linspace(-0.8, 0.8, H), indexing="xy")
+        pts = np.stack(
+            [xx, yy, 2.0 + 0.1 * rng.standard_normal((H, W))], -1)
+        pts = pts.astype(np.float32)
+        ours = np.asarray(depth2normal_geo(jnp.asarray(pts), k=k))
+        theirs = ref_normals(pts, k)
+        # compare where BOTH are well-posed (reference inv can blow up on
+        # near-singular windows; ours floors them to 0 by design)
+        ok = (np.isfinite(theirs).all(-1) & (np.abs(theirs) < 10).all(-1)
+              & (np.abs(ours) > 1e-9).any(-1, keepdims=False))
+        assert ok.mean() > 0.5, f"too few comparable pixels ({ok.mean()})"
+        np.testing.assert_allclose(ours[ok], theirs[ok], rtol=2e-2,
+                                   atol=2e-3)
+
+
+def test_depth2normal_grad_finite_small_map(rng):
+    """Regression (priorN NaN): d(normal)/d(depth) must be finite even on
+    maps smaller than the window with exactly-singular windows — the
+    1/det where-trap produced 0·inf cotangents and killed training."""
+    import jax
+
+    from gbnerf_tpu.core.normals import depth2normal_geo, depth2xyz
+
+    H, W, focal = 24, 32, 14.3
+    K = jnp.asarray([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]],
+                    jnp.float32)
+    base = (2.5 + 0.8 * np.sin(np.linspace(0, 3, H))[:, None]
+            + 0.5 * np.cos(np.linspace(0, 2, W))[None, :])
+    depth = jnp.asarray(base + 0.02 * rng.standard_normal((H, W)),
+                        jnp.float32)
+    cot = jnp.asarray(rng.standard_normal((H, W, 3)), jnp.float32)
+
+    def f(d):
+        n = (depth2normal_geo(depth2xyz(d, K)) + 1.0) / 2.0
+        return jnp.sum(n * cot)
+
+    n = depth2normal_geo(depth2xyz(depth, K))
+    assert bool(jnp.isfinite(n).all()), "forward has non-finite normals"
+    g = jax.grad(f)(depth)
+    assert bool(jnp.isfinite(g).all()), "backward has non-finite grads"
