@@ -16,9 +16,13 @@ Two layout decisions carry the win:
 2. **No intermediate leaves VMEM.** Weights, encodings and hidden
    activations live per-tile in VMEM; HBM traffic is points+SH in, raw out.
 
-Backward runs the identical-topology XLA oracle through jax.vjp
-(custom_vjp), so training works unchanged; on non-TPU backends the oracle
-is also the forward (CPU tests, driver dryruns).
+Backward on TPU is a second Pallas kernel (_kernel_bwd / _kernel_bwd_sigma)
+that recomputes the forward per tile in VMEM and emits all eight cotangents
+in one pass — the XLA-oracle re-linearization it replaces re-materialized
+the [N, R] triangle masks and activations through HBM (0.92 ms slice +
+0.55 ms pad signature in the stage-1 train step). Set BWD_KERNEL = False to
+fall back to the oracle vjp; non-TPU backends always use the oracle (both
+directions), which keeps CPU tests and driver dryruns on plain XLA.
 
 Parity: this implements the tcnn-field head topology of the reference
 (run_nerf_helpers_tcnn.py:13-117) on the CP grid encode; see
@@ -34,6 +38,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TILE = 4096  # v5e sweep: 289 M pts/s @1024, 339 @2048, 354 @4096 (full)
+TILE_BWD = 2048  # bwd live set is ~3x fwd's; 2048 stays inside scoped VMEM
+BWD_KERNEL = True  # kill switch: False routes bwd through the XLA oracle
 
 # Ws dict keys, Dense-style [in, out] orientation.
 W_KEYS = ("ws0", "ws1", "wc0", "wc1", "wc2")
@@ -188,7 +194,12 @@ def _apply_fwd(sigma_only, x01, sh, ulines, ws0, ws1, wc0, wc1, wc2):
 
 def _apply_bwd(sigma_only, res, g):
     x01, sh, ulines, ws0, ws1, wc0, wc1, wc2 = res
-    # plain re-linearization through the XLA oracle
+    if BWD_KERNEL and jax.default_backend() == "tpu":
+        Ws = dict(zip(W_KEYS, (ws0, ws1, wc0, wc1, wc2)))
+        dx, dsh, dul, dWs = _pallas_bwd(x01, sh, ulines, Ws, g,
+                                        sigma_only=sigma_only)
+        return (dx, dsh, dul) + tuple(dWs[k] for k in W_KEYS)
+    # re-linearization through the XLA oracle (CPU backends / kill switch)
     _, vjp = jax.vjp(
         lambda x, s, ul, a, b, c, d, e: _oracle(
             x, s, ul, dict(zip(W_KEYS, (a, b, c, d, e))),
@@ -278,6 +289,8 @@ def _apply_sigma_fwd(x01, ulines, ws0, ws1):
 
 def _apply_sigma_bwd(res, g):
     x01, ulines, ws0, ws1 = res
+    if BWD_KERNEL and jax.default_backend() == "tpu":
+        return _pallas_bwd_sigma(x01, ulines, ws0, ws1, g)
 
     def oracle(x, ul, a, b):
         dummy_sh = jnp.zeros((x.shape[0], 1), x.dtype)
@@ -290,3 +303,263 @@ def _apply_sigma_bwd(res, g):
 
 
 _apply_sigma.defvjp(_apply_sigma_fwd, _apply_sigma_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Pallas backward kernel
+#
+# The XLA-oracle re-linearization above is correct but slow on TPU: it
+# re-materializes the [N, R] triangle masks and every activation through HBM
+# (its profile signature in the stage-1 train step is 0.92 ms of slice +
+# 0.55 ms of pad around the grad matmuls). This kernel recomputes the
+# forward per tile in VMEM and emits all eight cotangents in one pass —
+# the same rematerialize-in-VMEM trade the fused forward makes.
+#
+# Precision matches the oracle's EFFECTIVE precision: every matmul operand
+# is bf16 (the oracle's f32 cotangent operands get truncated to bf16 by the
+# MXU anyway — CLAUDE.md "MXU default precision"), accumulation f32.
+# Subgradient conventions at measure-zero ties (|pos−u| ∈ {0, 1}, relu(0),
+# clip boundaries) follow jnp.sign/compare semantics and may differ from
+# XLA's tie choices; training never sits on a tie.
+# ---------------------------------------------------------------------------
+
+
+def _dotT(a, b):
+    """[p, T] × [q, T] → [p, q] contraction over lanes (A·Bᵀ), bf16 in."""
+    return jax.lax.dot_general(
+        a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+
+
+def _bwd_encode_axes(x_ref, ltT_ref, dprod, fas, r_max: int, tile: int,
+                     dlt_ref):
+    """Encode backward for all three axes → dx rows; accumulates dlt.
+
+    Per axis: dfa = dprod ⊙ Π fa_other; dlt[a] += dfa·maskᵀ;
+    du = Σ_R (ltᵀ·dfa) ⊙ ∂mask/∂u with ∂/∂u max(1−|pos−u|, 0) =
+    sign(pos−u)·1{|pos−u|<1}; dx = du·(R−1)·1{0<x<1} (clip grad).
+    """
+    pos = jax.lax.broadcasted_iota(
+        jnp.int32, (r_max, tile), 0).astype(jnp.float32)
+    rows = []
+    for axis in range(3):
+        o1, o2 = (a for a in range(3) if a != axis)
+        dfa = (dprod * fas[o1] * fas[o2]).astype(jnp.bfloat16)   # [F, T]
+        x = x_ref[axis, :]
+        u = jnp.clip(x, 0.0, 1.0) * (r_max - 1)
+        d = pos - u[None, :]
+        absd = jnp.abs(d)
+        m = jnp.maximum(1.0 - absd, 0.0).astype(jnp.bfloat16)
+        dlt_ref[axis] += _dotT(dfa, m)                           # [F, R]
+        dmask = jnp.dot(ltT_ref[axis], dfa,
+                        preferred_element_type=jnp.float32)      # [R, T]
+        s = jnp.sign(d) * (absd < 1.0).astype(jnp.float32)
+        du = jnp.sum(dmask * s, axis=0, keepdims=True)           # [1, T]
+        in01 = ((x > 0.0) & (x < 1.0)).astype(jnp.float32)
+        rows.append(du * ((r_max - 1) * in01[None, :]))
+    return jnp.concatenate(rows, axis=0)                         # [3, T]
+
+
+def _kernel_bwd(x_ref, sh_ref, g_ref, lt_ref, ltT_ref,
+                ws0_ref, ws1_ref, wc0_ref, wc1_ref,
+                ws0T_ref, ws1T_ref, wc0T_ref, wc1T_ref, wc2T_ref,
+                dx_ref, dsh_ref, dlt_ref, dws0_ref, dws1_ref,
+                dwc0_ref, dwc1_ref, dwc2_ref, *, r_max: int):
+    tile = x_ref.shape[1]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for ref in (dlt_ref, dws0_ref, dws1_ref, dwc0_ref, dwc1_ref,
+                    dwc2_ref):
+            ref[...] = jnp.zeros(ref.shape, ref.dtype)
+
+    # ---- forward recompute (identical ops to _kernel; all live in VMEM)
+    fas = []
+    pos = jax.lax.broadcasted_iota(
+        jnp.int32, (r_max, tile), 0).astype(jnp.float32)
+    for axis in range(3):
+        u = jnp.clip(x_ref[axis, :], 0.0, 1.0) * (r_max - 1)
+        m = jnp.maximum(1.0 - jnp.abs(pos - u[None, :]),
+                        0.0).astype(jnp.bfloat16)
+        fas.append(jnp.dot(lt_ref[axis], m,
+                           preferred_element_type=jnp.float32))  # [F, T]
+    prod = fas[0] * fas[1] * fas[2]
+    h0 = jnp.maximum(jnp.dot(ws0_ref[:], prod.astype(jnp.bfloat16),
+                             preferred_element_type=jnp.float32), 0.0)
+    h1 = jnp.dot(ws1_ref[:], h0.astype(jnp.bfloat16),
+                 preferred_element_type=jnp.float32)             # [16, T]
+    hc = jnp.concatenate([sh_ref[:], h1[1:, :].astype(jnp.bfloat16)], axis=0)
+    h2 = jnp.maximum(jnp.dot(wc0_ref[:], hc,
+                             preferred_element_type=jnp.float32), 0.0)
+    h3 = jnp.maximum(jnp.dot(wc1_ref[:], h2.astype(jnp.bfloat16),
+                             preferred_element_type=jnp.float32), 0.0)
+
+    # ---- head backward
+    grgb = g_ref[:3, :]
+    gsig = g_ref[3:4, :]
+    dh3 = jnp.dot(wc2T_ref[:], grgb.astype(jnp.bfloat16),
+                  preferred_element_type=jnp.float32) * (h3 > 0.0)
+    dwc2_ref[...] += _dotT(grgb, h3)
+    dh2 = jnp.dot(wc1T_ref[:], dh3.astype(jnp.bfloat16),
+                  preferred_element_type=jnp.float32) * (h2 > 0.0)
+    dwc1_ref[...] += _dotT(dh3, h2)
+    dhc = jnp.dot(wc0T_ref[:], dh2.astype(jnp.bfloat16),
+                  preferred_element_type=jnp.float32)            # [31, T]
+    dwc0_ref[...] += _dotT(dh2, hc)
+    n_sh = sh_ref.shape[0]
+    dsh_ref[...] = dhc[:n_sh, :]
+    dh1 = jnp.concatenate([gsig, dhc[n_sh:, :]], axis=0)         # [16, T]
+    dh0 = jnp.dot(ws1T_ref[:], dh1.astype(jnp.bfloat16),
+                  preferred_element_type=jnp.float32) * (h0 > 0.0)
+    dws1_ref[...] += _dotT(dh1, h0)
+    dprod = jnp.dot(ws0T_ref[:], dh0.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)          # [F, T]
+    dws0_ref[...] += _dotT(dh0, prod)
+
+    dx_ref[...] = _bwd_encode_axes(x_ref, ltT_ref, dprod, fas, r_max, tile,
+                                   dlt_ref)
+
+
+def _kernel_bwd_sigma(x_ref, g_ref, lt_ref, ltT_ref, ws0_ref,
+                      ws0T_ref, ws1T_ref,
+                      dx_ref, dlt_ref, dws0_ref, dws1_ref, *, r_max: int):
+    tile = x_ref.shape[1]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for ref in (dlt_ref, dws0_ref, dws1_ref):
+            ref[...] = jnp.zeros(ref.shape, ref.dtype)
+
+    fas = []
+    pos = jax.lax.broadcasted_iota(
+        jnp.int32, (r_max, tile), 0).astype(jnp.float32)
+    for axis in range(3):
+        u = jnp.clip(x_ref[axis, :], 0.0, 1.0) * (r_max - 1)
+        m = jnp.maximum(1.0 - jnp.abs(pos - u[None, :]),
+                        0.0).astype(jnp.bfloat16)
+        fas.append(jnp.dot(lt_ref[axis], m,
+                           preferred_element_type=jnp.float32))
+    prod = fas[0] * fas[1] * fas[2]
+    h0 = jnp.maximum(jnp.dot(ws0_ref[:], prod.astype(jnp.bfloat16),
+                             preferred_element_type=jnp.float32), 0.0)
+
+    # only σ (row 0 of h1) carries a cotangent; rgb rows are constant zeros
+    gsig = g_ref[3:4, :]
+    n_h1 = ws1T_ref.shape[1]
+    dh1 = jnp.concatenate(
+        [gsig, jnp.zeros((n_h1 - 1, tile), jnp.float32)], axis=0)
+    dh0 = jnp.dot(ws1T_ref[:], dh1.astype(jnp.bfloat16),
+                  preferred_element_type=jnp.float32) * (h0 > 0.0)
+    dws1_ref[...] += _dotT(dh1, h0)
+    dprod = jnp.dot(ws0T_ref[:], dh0.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+    dws0_ref[...] += _dotT(dh0, prod)
+
+    dx_ref[...] = _bwd_encode_axes(x_ref, ltT_ref, dprod, fas, r_max, tile,
+                                   dlt_ref)
+
+
+def _bwd_operands(x01, ulines, g, tile: int):
+    """Shared host-side packing: pad+transpose points/cotangent, lines."""
+    n = x01.shape[0]
+    ntiles = -(-n // tile)
+    pad = ntiles * tile - n
+    x_t = jnp.pad(x01, ((0, pad), (0, 0))).T                    # [3, n']
+    # zero-padded cotangent: padded points contribute nothing to any grad
+    g_t = jnp.pad(g, ((0, pad), (0, 0))).T                      # [4, n']
+    lt = jnp.transpose(ulines, (0, 2, 1)).astype(jnp.bfloat16)  # [3, F, R]
+    ltT = ulines.astype(jnp.bfloat16)                           # [3, R, F]
+    return x_t, g_t, lt, ltT, ntiles, pad
+
+
+def _pallas_bwd(x01, sh, ulines, Ws, g, *, sigma_only: bool,
+                interpret: bool = False, tile: int | None = None):
+    """All eight cotangents of the fused field in one Pallas pass.
+
+    Returns (dx [N,3], dsh [N,S] | None, dulines [3,R,F],
+    {k: dW in Dense [in,out] orientation}).
+    """
+    if sigma_only:
+        dx, dul, dws0, dws1 = _pallas_bwd_sigma(
+            x01, ulines, Ws["ws0"], Ws["ws1"], g, interpret=interpret,
+            tile=tile)
+        return dx, None, dul, {"ws0": dws0, "ws1": dws1}
+    n = x01.shape[0]
+    r_max, feat = ulines.shape[1], ulines.shape[2]
+    tile = tile or TILE_BWD
+    x_t, g_t, lt, ltT, ntiles, pad = _bwd_operands(x01, ulines, g, tile)
+    sh_t = jnp.pad(sh, ((0, pad), (0, 0))).T.astype(jnp.bfloat16)
+    wt = {k: Ws[k].T.astype(jnp.bfloat16) for k in W_KEYS}      # [out, in]
+    wo = {k: Ws[k].astype(jnp.bfloat16) for k in W_KEYS}        # [in, out]
+    n_sh = sh.shape[1]
+
+    blk = lambda shape: pl.BlockSpec(shape, lambda i: (0, i),
+                                     memory_space=pltpu.VMEM)
+    cst = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
+                                 memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        functools.partial(_kernel_bwd, r_max=r_max),
+        grid=(ntiles,),
+        in_specs=[blk((3, tile)), blk((n_sh, tile)), blk((4, tile)),
+                  cst(lt), cst(ltT),
+                  cst(wt["ws0"]), cst(wt["ws1"]), cst(wt["wc0"]),
+                  cst(wt["wc1"]),
+                  cst(wo["ws0"]), cst(wo["ws1"]), cst(wo["wc0"]),
+                  cst(wo["wc1"]), cst(wo["wc2"])],
+        out_specs=(blk((3, tile)), blk((n_sh, tile)),
+                   pl.BlockSpec((3, feat, r_max), lambda i: (0, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   *(pl.BlockSpec(wt[k].shape, lambda i: (0, 0),
+                                  memory_space=pltpu.VMEM) for k in W_KEYS)),
+        out_shape=(jax.ShapeDtypeStruct((3, ntiles * tile), jnp.float32),
+                   jax.ShapeDtypeStruct((n_sh, ntiles * tile), jnp.float32),
+                   jax.ShapeDtypeStruct((3, feat, r_max), jnp.float32),
+                   *(jax.ShapeDtypeStruct(wt[k].shape, jnp.float32)
+                     for k in W_KEYS)),
+        interpret=interpret,
+    )(x_t, sh_t, g_t, lt, ltT, wt["ws0"], wt["ws1"], wt["wc0"], wt["wc1"],
+      wo["ws0"], wo["ws1"], wo["wc0"], wo["wc1"], wo["wc2"])
+    dx_t, dsh_t, dlt = outs[:3]
+    dWs = {k: d.T for k, d in zip(W_KEYS, outs[3:])}
+    dx = dx_t.T[:n]
+    dsh = dsh_t.T[:n]
+    dul = jnp.transpose(dlt, (0, 2, 1))                          # [3, R, F]
+    return dx, dsh, dul, dWs
+
+
+def _pallas_bwd_sigma(x01, ulines, ws0, ws1, g, *, interpret: bool = False,
+                      tile: int | None = None):
+    n = x01.shape[0]
+    r_max, feat = ulines.shape[1], ulines.shape[2]
+    tile = tile or TILE_BWD
+    x_t, g_t, lt, ltT, ntiles, pad = _bwd_operands(x01, ulines, g, tile)
+    w0t = ws0.T.astype(jnp.bfloat16)
+    w0o = ws0.astype(jnp.bfloat16)
+    w1o = ws1.astype(jnp.bfloat16)
+
+    blk = lambda shape: pl.BlockSpec(shape, lambda i: (0, i),
+                                     memory_space=pltpu.VMEM)
+    cst = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
+                                 memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        functools.partial(_kernel_bwd_sigma, r_max=r_max),
+        grid=(ntiles,),
+        in_specs=[blk((3, tile)), blk((4, tile)), cst(lt), cst(ltT),
+                  cst(w0t), cst(w0o), cst(w1o)],
+        out_specs=(blk((3, tile)),
+                   pl.BlockSpec((3, feat, r_max), lambda i: (0, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec(w0t.shape, lambda i: (0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec(ws1.T.shape, lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((3, ntiles * tile), jnp.float32),
+                   jax.ShapeDtypeStruct((3, feat, r_max), jnp.float32),
+                   jax.ShapeDtypeStruct(w0t.shape, jnp.float32),
+                   jax.ShapeDtypeStruct(ws1.T.shape, jnp.float32)),
+        interpret=interpret,
+    )(x_t, g_t, lt, ltT, w0t, w0o, w1o)
+    dx_t, dlt, dws0_t, dws1_t = outs
+    dx = dx_t.T[:n]
+    dul = jnp.transpose(dlt, (0, 2, 1))
+    return dx, dul, dws0_t.T, dws1_t.T
