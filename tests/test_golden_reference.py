@@ -332,3 +332,43 @@ def test_depth2normal_grad_finite_small_map(rng):
     assert bool(jnp.isfinite(n).all()), "forward has non-finite normals"
     g = jax.grad(f)(depth)
     assert bool(jnp.isfinite(g).all()), "backward has non-finite grads"
+
+
+def test_nerf_mlp_ckpt_convert_golden(ref_helpers, rng):
+    """Full-network golden parity: a randomly-initialized reference torch
+    NeRF, its state_dict converted by tools/convert_ref_ckpt.py's mapping,
+    must reproduce the torch forward through OUR embedder + NeRFMLP — the
+    end-to-end seam a user crosses when migrating reference checkpoints."""
+    import sys as _sys
+    from pathlib import Path
+    _sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    from convert_ref_ckpt import torch_nerf_to_flax, infer_skips
+
+    from gbnerf_tpu.core.encoding import freq_encode
+    from gbnerf_tpu.core.fields import NeRFMLP
+
+    multires, multires_views = 10, 4
+    ref = ref_helpers.NeRF(D=8, W=256, input_ch=3 * (1 + 2 * multires),
+                           input_ch_views=3 * (1 + 2 * multires_views),
+                           skips=[4], use_viewdirs=True)
+    params = torch_nerf_to_flax(ref.state_dict())
+    assert infer_skips(params) == (4,)
+
+    pts = rng.standard_normal((64, 3)).astype(np.float32)
+    dirs = rng.standard_normal((64, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+
+    with torch.no_grad():
+        emb = torch.cat([
+            torch.from_numpy(np.asarray(
+                freq_encode(jnp.asarray(pts), multires))),
+            torch.from_numpy(np.asarray(
+                freq_encode(jnp.asarray(dirs), multires_views)))], -1)
+        # reference outputs [rgb, alpha] (run_nerf_helpers.py:127)
+        ref_out = t2n(ref(emb))
+
+    ours = NeRFMLP(depth=8, width=256, skips=(4,), multires=multires,
+                   multires_views=multires_views, use_viewdirs=True)
+    got = np.asarray(ours.apply({"params": params}, jnp.asarray(pts),
+                                jnp.asarray(dirs)))
+    np.testing.assert_allclose(got, ref_out, rtol=1e-4, atol=1e-5)
