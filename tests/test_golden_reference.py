@@ -372,3 +372,30 @@ def test_nerf_mlp_ckpt_convert_golden(ref_helpers, rng):
     got = np.asarray(ours.apply({"params": params}, jnp.asarray(pts),
                                 jnp.asarray(dirs)))
     np.testing.assert_allclose(got, ref_out, rtol=1e-4, atol=1e-5)
+
+
+def test_nerf_mlp_ckpt_convert_golden_no_viewdirs(ref_helpers, rng):
+    """Same seam for use_viewdirs=False (single output_linear head)."""
+    import sys as _sys
+    from pathlib import Path
+    _sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    from convert_ref_ckpt import torch_nerf_to_flax
+
+    from gbnerf_tpu.core.encoding import freq_encode
+    from gbnerf_tpu.core.fields import NeRFMLP
+
+    multires = 6
+    ref = ref_helpers.NeRF(D=4, W=96, input_ch=3 * (1 + 2 * multires),
+                           input_ch_views=0, skips=[2], use_viewdirs=False)
+    params = torch_nerf_to_flax(ref.state_dict())
+
+    pts = rng.standard_normal((32, 3)).astype(np.float32)
+    with torch.no_grad():
+        emb = torch.from_numpy(np.asarray(
+            freq_encode(jnp.asarray(pts), multires)))
+        ref_out = t2n(ref(emb))
+
+    ours = NeRFMLP(depth=4, width=96, skips=(2,), multires=multires,
+                   use_viewdirs=False)
+    got = np.asarray(ours.apply({"params": params}, jnp.asarray(pts), None))
+    np.testing.assert_allclose(got, ref_out, rtol=1e-4, atol=1e-5)
