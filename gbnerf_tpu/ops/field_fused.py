@@ -31,6 +31,7 @@ core/cp_field.py for the encode math.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -39,7 +40,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 TILE = 4096  # v5e sweep: 289 M pts/s @1024, 339 @2048, 354 @4096 (full)
 TILE_BWD = 2048  # bwd live set is ~3x fwd's; 2048 stays inside scoped VMEM
-BWD_KERNEL = True  # kill switch: False routes bwd through the XLA oracle
+# Kill switch: 0 routes the backward through the XLA oracle (A/B: run the
+# same config with GBNERF_BWD_KERNEL=0 to measure the kernel's step win).
+BWD_KERNEL = os.environ.get("GBNERF_BWD_KERNEL", "1") != "0"
 
 # Ws dict keys, Dense-style [in, out] orientation.
 W_KEYS = ("ws0", "ws1", "wc0", "wc1", "wc2")
