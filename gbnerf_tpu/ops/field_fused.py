@@ -43,6 +43,13 @@ TILE_BWD = 2048  # bwd live set is ~3x fwd's; 2048 stays inside scoped VMEM
 # Kill switch: 0 routes the backward through the XLA oracle (A/B: run the
 # same config with GBNERF_BWD_KERNEL=0 to measure the kernel's step win).
 BWD_KERNEL = os.environ.get("GBNERF_BWD_KERNEL", "1") != "0"
+# Tests set True to route the TPU kernel path (fwd+bwd) through the Pallas
+# interpreter on CPU — exercises the real dispatch + custom_vjp plumbing.
+INTERPRET = False
+
+
+def _use_kernels() -> bool:
+    return INTERPRET or jax.default_backend() == "tpu"
 
 # Ws dict keys, Dense-style [in, out] orientation.
 W_KEYS = ("ws0", "ws1", "wc0", "wc1", "wc2")
@@ -173,6 +180,7 @@ def _pallas_fwd(x01, sh, ulines, Ws, *, sigma_only: bool):
         out_specs=pl.BlockSpec((4, TILE), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((4, ntiles * TILE), jnp.float32),
+        interpret=INTERPRET,
     )(x_t, sh_t, lt, wt["ws0"], wt["ws1"], wt["wc0"], wt["wc1"], wt["wc2"])
     out = out.T
     return out[:n] if pad else out
@@ -180,7 +188,7 @@ def _pallas_fwd(x01, sh, ulines, Ws, *, sigma_only: bool):
 
 def _dispatch(sigma_only, x01, sh, ulines, ws0, ws1, wc0, wc1, wc2):
     Ws = dict(zip(W_KEYS, (ws0, ws1, wc0, wc1, wc2)))
-    if jax.default_backend() == "tpu":
+    if _use_kernels():
         return _pallas_fwd(x01, sh, ulines, Ws, sigma_only=sigma_only)
     return _oracle(x01, sh, ulines, Ws, sigma_only=sigma_only)
 
@@ -197,10 +205,13 @@ def _apply_fwd(sigma_only, x01, sh, ulines, ws0, ws1, wc0, wc1, wc2):
 
 def _apply_bwd(sigma_only, res, g):
     x01, sh, ulines, ws0, ws1, wc0, wc1, wc2 = res
-    if BWD_KERNEL and jax.default_backend() == "tpu":
+    if BWD_KERNEL and _use_kernels():
         Ws = dict(zip(W_KEYS, (ws0, ws1, wc0, wc1, wc2)))
         dx, dsh, dul, dWs = _pallas_bwd(x01, sh, ulines, Ws, g,
-                                        sigma_only=sigma_only)
+                                        sigma_only=sigma_only,
+                                        interpret=INTERPRET)
+        if dsh is None:   # sigma_only: sh never enters the sigma path
+            dsh = jnp.zeros_like(sh)
         return (dx, dsh, dul) + tuple(dWs[k] for k in W_KEYS)
     # re-linearization through the XLA oracle (CPU backends / kill switch)
     _, vjp = jax.vjp(
@@ -267,13 +278,14 @@ def _pallas_fwd_sigma(x01, ulines, ws0, ws1):
         out_specs=pl.BlockSpec((4, TILE), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((4, ntiles * TILE), jnp.float32),
+        interpret=INTERPRET,
     )(x_t, lt, w0t, w1t)
     out = out.T
     return out[:n] if pad else out
 
 
 def _dispatch_sigma(x01, ulines, ws0, ws1):
-    if jax.default_backend() == "tpu":
+    if _use_kernels():
         return _pallas_fwd_sigma(x01, ulines, ws0, ws1)
     dummy_sh = jnp.zeros((x01.shape[0], 1), x01.dtype)
     Ws = {"ws0": ws0, "ws1": ws1, "wc0": None, "wc1": None, "wc2": None}
@@ -292,8 +304,9 @@ def _apply_sigma_fwd(x01, ulines, ws0, ws1):
 
 def _apply_sigma_bwd(res, g):
     x01, ulines, ws0, ws1 = res
-    if BWD_KERNEL and jax.default_backend() == "tpu":
-        return _pallas_bwd_sigma(x01, ulines, ws0, ws1, g)
+    if BWD_KERNEL and _use_kernels():
+        return _pallas_bwd_sigma(x01, ulines, ws0, ws1, g,
+                                 interpret=INTERPRET)
 
     def oracle(x, ul, a, b):
         dummy_sh = jnp.zeros((x.shape[0], 1), x.dtype)

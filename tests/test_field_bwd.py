@@ -97,3 +97,37 @@ def test_bwd_kernel_out_of_bounds_points_zero_dx(rng):
     assert np.all(np.asarray(dx)[:64, 0] == 0.0)
     assert np.all(np.asarray(dx)[64:128, 1] == 0.0)
     assert np.abs(np.asarray(dul)).max() > 0.0
+
+
+@pytest.mark.parametrize("sigma_only", [False, True])
+def test_custom_vjp_dispatch_end_to_end(rng, monkeypatch, sigma_only):
+    """jax.grad through the PUBLIC entry (cp_field_fused) with the kernel
+    path forced on via INTERPRET: exercises the real custom_vjp plumbing
+    (argument unpacking, Dense-orientation transposes, sigma routing) that
+    the direct _pallas_bwd tests bypass."""
+    import gbnerf_tpu.ops.field_fused as ff
+
+    x01, sh, ulines, Ws, _ = _mats(rng, 300)
+    cot = jnp.asarray(rng.standard_normal((300, 4)).astype(np.float32))
+
+    def loss(x, s, ul, ws0, ws1, wc0, wc1, wc2):
+        Wd = dict(zip(W_KEYS, (ws0, ws1, wc0, wc1, wc2)))
+        out = ff.cp_field_fused(x, s, ul, Wd, sigma_only=sigma_only)
+        return jnp.sum(out * cot)
+
+    args = (x01, sh, ulines) + tuple(Ws[k] for k in W_KEYS)
+    argnums = tuple(range(len(args)))
+    ref = jax.grad(loss, argnums)(*args)          # oracle path (CPU)
+
+    monkeypatch.setattr(ff, "INTERPRET", True)
+    monkeypatch.setattr(ff, "TILE", 512)
+    monkeypatch.setattr(ff, "TILE_BWD", 512)
+    got = jax.grad(loss, argnums)(*args)          # kernel path, interpreted
+
+    names = ("dx", "dsh", "dul") + W_KEYS
+    for name, a, b in zip(names, got, ref):
+        if sigma_only and name in ("dsh", "wc0", "wc1", "wc2"):
+            assert float(jnp.abs(a).max()) == 0.0, name
+            assert float(jnp.abs(b).max()) == 0.0, name
+            continue
+        _close(a, b, name, rtol=5e-2, atol_frac=8e-3)
