@@ -13,6 +13,10 @@ Covered seams (the ones the original authors left goldenable via their
     diffusers scaled_linear schedule reimplemented in torch — sd_utils
     itself needs diffusers, absent here)
   - LLFF pose math                            (load_llff.py:204-258, :264)
+  - Embedder frequency encoding               (run_nerf_helpers.py:23-71)
+  - SigmaLoss depth likelihood                (loss.py:8-44)
+  - Perp-Neg aggregation                      (guidance/perpneg_utils.py:17-48)
+  - directional prompt embeddings             (nerf/utils.py:8-74)
 
 Any intentional divergence is asserted around, with the reason stated.
 """
@@ -399,3 +403,133 @@ def test_nerf_mlp_ckpt_convert_golden_no_viewdirs(ref_helpers, rng):
                    use_viewdirs=False)
     got = np.asarray(ours.apply({"params": params}, jnp.asarray(pts), None))
     np.testing.assert_allclose(got, ref_out, rtol=1e-4, atol=1e-5)
+
+
+# ------------------------------------------- guidance/loss seams (round 2)
+
+def _load_ref_module(name, relpath):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(name, f"{REF}/{relpath}")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def ref_perpneg():
+    return _load_ref_module("ref_perpneg_utils", "guidance/perpneg_utils.py")
+
+
+@pytest.fixture(scope="module")
+def ref_nerf_utils():
+    return _load_ref_module("ref_nerf_utils", "nerf/utils.py")
+
+
+@pytest.fixture(scope="module")
+def ref_loss_mod():
+    return _load_ref_module("ref_loss", "loss.py")
+
+
+def test_embedder_golden(ref_helpers, rng):
+    """freq_encode layout/values == reference Embedder (both multires)."""
+    from gbnerf_tpu.core.encoding import freq_encode
+
+    # reference Embedder hardcodes input_dims=3 (run_nerf_helpers.py:59)
+    for multires in (10, 4, 6):
+        embed_fn, out_dim = ref_helpers.get_embedder(multires, 0)
+        x = rng.standard_normal((5, 3)).astype(np.float32)
+        ref = t2n(embed_fn(torch.from_numpy(x)))
+        got = np.asarray(freq_encode(jnp.asarray(x), multires))
+        assert got.shape[-1] == out_dim
+        np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_sigma_loss_golden(ref_loss_mod, rng):
+    """σ-likelihood depth loss == reference SigmaLoss.calculate_loss
+    (deterministic seam: perturb=0, raw_noise_std=0, shared field)."""
+    from gbnerf_tpu.train.losses import sigma_loss
+
+    N, S = 8, 16
+    ro = rng.standard_normal((N, 3)).astype(np.float32)
+    rd = rng.standard_normal((N, 3)).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
+    depths = (1.0 + 2.0 * rng.random(N)).astype(np.float32)
+    near = 0.5
+
+    def raw_np(pts):
+        sig = np.sin(pts.sum(-1)) * 2.0 + 0.3 * pts[..., 0]
+        return np.concatenate(
+            [np.zeros(pts.shape[:-1] + (3,), np.float32), sig[..., None]],
+            axis=-1).astype(np.float32)
+
+    ref = ref_loss_mod.SigmaLoss(S, perturb=0, raw_noise_std=0).calculate_loss(
+        torch.from_numpy(ro), torch.from_numpy(rd), None,
+        torch.tensor(near), None, torch.from_numpy(depths),
+        lambda pts, vd, net: torch.from_numpy(raw_np(pts.numpy())), None)
+    got = sigma_loss(
+        lambda pts, vd: jnp.asarray(raw_np(np.asarray(pts))),
+        jnp.asarray(ro), jnp.asarray(rd), None, near, jnp.asarray(depths),
+        N_samples=S, perturb=False, raw_noise_std=0.0)
+    np.testing.assert_allclose(np.asarray(got), t2n(ref), rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_perpneg_aggregator_golden(ref_perpneg, rng):
+    """Perpendicular aggregation == reference, incl. exact-zero weights.
+
+    The reference drops aux terms with |w| <= 1e-4 entirely; ours scales by
+    w (identical at w=0 and indistinguishable below 1e-4) — fixture avoids
+    the open interval (0, 1e-4) where the two differ by < 1e-4·|perp|.
+    """
+    from gbnerf_tpu.guidance.perpneg import weighted_perpendicular_aggregator
+
+    B = 2
+    x = rng.standard_normal((3 * B, 4, 8, 8)).astype(np.float32)
+    w_aux = np.array([0.7, 0.0, -1.3, 0.5], np.float32)     # [2B]
+    w_full = np.concatenate([np.ones(B, np.float32), w_aux])
+    ref = ref_perpneg.weighted_perpendicular_aggregator(
+        torch.from_numpy(x.copy()), torch.from_numpy(w_full), B)
+    got = weighted_perpendicular_aggregator(
+        jnp.asarray(x), jnp.asarray(w_aux), B)
+    np.testing.assert_allclose(np.asarray(got), t2n(ref), rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_directional_embeddings_golden(ref_nerf_utils, rng):
+    """Azimuth-conditioned Perp-Neg prompt embeddings == reference across
+    both hemispheres, blend boundaries, and the decay cutoffs."""
+    from gbnerf_tpu.guidance.directional import (adjust_text_embeddings,
+                                                 get_pos_neg_text_embeddings)
+
+    L, D = 7, 5
+    emb_np = {k: rng.standard_normal((1, L, D)).astype(np.float32)
+              for k in ("front", "side", "back")}
+    emb_t = {k: torch.from_numpy(v) for k, v in emb_np.items()}
+    emb_j = {k: jnp.asarray(v[0]) for k, v in emb_np.items()}
+    opt = types.SimpleNamespace(front_decay_factor=2.0,
+                                side_decay_factor=10.0, negative_w=-2.0)
+
+    azimuths = (-179.0, -90.0, -45.0, -5.0, 0.0, 10.0, 85.0, 89.9, 90.0,
+                135.0, 179.0)
+    for az in azimuths:
+        ref_z, ref_w = ref_nerf_utils.get_pos_neg_text_embeddings(
+            emb_t, az, opt)
+        got_z, got_w = get_pos_neg_text_embeddings(emb_j, az)
+        np.testing.assert_allclose(np.asarray(got_z), t2n(ref_z), rtol=1e-5,
+                                   atol=1e-6, err_msg=f"az={az}")
+        np.testing.assert_allclose(np.asarray(got_w), t2n(ref_w), rtol=1e-5,
+                                   atol=1e-7, err_msg=f"az={az}")
+
+    # batch interleave: reference returns [B·K] weights incl. the leading
+    # ones for the main direction; ours returns the aux [2B] slice.
+    az_b = np.array([-135.0, 30.0, 88.0], np.float32)
+    ref_zb, ref_wb = ref_nerf_utils.adjust_text_embeddings(
+        emb_t, torch.from_numpy(az_b), opt)
+    got_zb, got_wb = adjust_text_embeddings(emb_j, jnp.asarray(az_b))
+    np.testing.assert_allclose(np.asarray(got_zb), t2n(ref_zb), rtol=1e-5,
+                               atol=1e-6)
+    B = az_b.shape[0]
+    np.testing.assert_allclose(t2n(ref_wb)[:B], 1.0)
+    np.testing.assert_allclose(np.asarray(got_wb), t2n(ref_wb)[B:],
+                               rtol=1e-5, atol=1e-7)
