@@ -117,6 +117,11 @@ class GuidanceConfig:
     sd_weights_dir: Optional[str] = None
     sd_tiny: bool = False          # tiny random SD stack (tests/smoke)
     sd_allow_random: bool = False  # full-size SD with random init (benchmarks)
+    # Cache the RGB modality's masked-conditioning VAE encode per view
+    # (it is a per-view constant; saves one full-size VAE encode per step,
+    # 59.9 → 52.0 ms measured). See guidance/stable.py::
+    # precompute_masked_latents for the documented divergence.
+    cache_masked_latents: bool = True
     # Self-trained prior checkpoint (flax msgpack of {unet, vae, embeds_rgb,
     # embeds_normal} from tools/train_tiny_prior.py) — the weights-free
     # analog of the reference's LoRA scene prior; loaded over the sd_tiny
@@ -287,6 +292,7 @@ _FLAG_MAP = {
     "sd_weights_dir": ("guidance", "sd_weights_dir"),
     "sd_tiny": ("guidance", "sd_tiny"),
     "sd_allow_random": ("guidance", "sd_allow_random"),
+    "cache_masked_latents": ("guidance", "cache_masked_latents"),
     "sd_prior_ckpt": ("guidance", "sd_prior_ckpt"),
     "sd_latent_size": ("guidance", "sd_latent_size"),
     "perpneg": ("guidance", "perpneg"),

@@ -265,6 +265,17 @@ def train(cfg: Config, *, guidance_fn=None,
         from ..guidance.stable import guidance_params
 
         gparams = guidance_params(mods)
+        if g.is_rgb_guidance and g.cache_masked_latents:
+            # Per-view constant: the RGB composite's masked conditioning
+            # image. One full-size VAE encode per step saved (59.9 → 52.0
+            # ms measured); divergence documented at the helper.
+            from ..guidance.stable import precompute_masked_latents
+
+            rng, k_ml = jax.random.split(rng)
+            scene_dev["masked_latents"] = precompute_masked_latents(
+                mods, scene_dev["images"], scene_dev["masks"], rng=k_ml)
+            print(f"[guidance] cached {scene_dev['images'].shape[0]} "
+                  "per-view masked-conditioning latents")
         wsrc = ("prior-ckpt" if g.sd_prior_ckpt
                 else "loaded" if g.sd_weights_dir else "random")
         print(f"[guidance] SD stack ready "

@@ -144,6 +144,9 @@ class Stage2Batch(NamedTuple):
     depth: Optional[Dict[str, jnp.ndarray]]  # colmap {o, d, target[depth, w]}
     colla_poses: Optional[jnp.ndarray] = None  # [4, 3, 4] neighbor views
     colla_masks: Optional[jnp.ndarray] = None  # [4, H, W]
+    masked_latents: Optional[jnp.ndarray] = None  # [1, LR, LR, 4] cached
+    # per-view VAE encoding of the masked conditioning image (see
+    # guidance/stable.py::precompute_masked_latents)
 
 
 def select_stage2_view(scene_dev: Dict[str, jnp.ndarray], banks_dev, rng,
@@ -157,9 +160,11 @@ def select_stage2_view(scene_dev: Dict[str, jnp.ndarray], banks_dev, rng,
         ci = jax.random.randint(k_col, (n_colla,), 0, n_img)
         colla_poses = scene_dev["poses"][ci, :3, :4]
         colla_masks = scene_dev["masks"][ci]
+    ml = scene_dev.get("masked_latents")
     batch = Stage2Batch(
         colla_poses=colla_poses,
         colla_masks=colla_masks,
+        masked_latents=ml[img_i][None] if ml is not None else None,
         image=scene_dev["images"][img_i],
         mask=scene_dev["masks"][img_i],
         coords=scene_dev["mask_coords"][img_i],
@@ -337,6 +342,8 @@ def make_train_step_stage2(cfg: Config, coarse_model, fine_model,
 
     accepts_gparams = (guidance_fn is not None and
                        "gparams" in inspect.signature(guidance_fn).parameters)
+    accepts_ml = (guidance_fn is not None and "masked_latents"
+                  in inspect.signature(guidance_fn).parameters)
 
     def loss_fn(params, batch: Stage2Batch, step_i, rng, gparams=None,
                 aparams=None):
@@ -435,6 +442,8 @@ def make_train_step_stage2(cfg: Config, coarse_model, fine_model,
                     kw.update(rgbs4=rgbs4, masks4=masks4)
                 if accepts_gparams:
                     kw["gparams"] = gparams
+                if accepts_ml and batch.masked_latents is not None:
+                    kw["masked_latents"] = batch.masked_latents
                 sds_loss = guidance_fn(step_i, combin, normal_map,
                                        batch.mask, k_g, **kw)
                 loss = loss + g.sds_loss_weight * sds_loss

@@ -330,3 +330,45 @@ def test_perpneg_guidance_path(tiny_mods, key):
     assert np.isfinite(lp2) and lp2 != lp
     g = jax.grad(lambda r: fn_p(jnp.asarray(10), r, None, mask, k))(rgb)
     assert float(jnp.abs(g).max()) > 0
+
+
+def test_masked_latents_cache_exact(tiny_mods, key):
+    """Passing precomputed conditioning latents is BITWISE identical to the
+    in-step encode when the cache uses the step's own encode key and the
+    same image (plumbing exactness; the production divergence — resize
+    bleed + frozen posterior draw — is documented at
+    precompute_masked_latents)."""
+    from gbnerf_tpu.guidance.stable import (AutoencoderKL, _resize,
+                                            sd_train_step)
+
+    gcfg, mods = tiny_mods
+    H = W = 24
+    rgb = jax.random.uniform(key, (H, W, 3))
+    mask = (jax.random.uniform(jax.random.fold_in(key, 2), (H, W)) > 0.7
+            ).astype(jnp.float32)
+    rng = jax.random.fold_in(key, 3)
+    base = float(sd_train_step(mods, gcfg, 500, rgb, mask, rng,
+                               embeds=mods.embeds_rgb, guidance_scale=7.5))
+    k_enc2 = jax.random.split(rng, 3)[2]      # the step's own encode key
+    S = mods.latent_size
+    rgb512 = _resize(rgb[None], S) * 2.0 - 1.0
+    m512 = _resize(jnp.abs(mask)[None, ..., None], S)
+    ml = mods.vae.apply({"params": mods.vae_params},
+                        rgb512 * (m512 < 0.5), k_enc2,
+                        method=AutoencoderKL.encode)
+    cached = float(sd_train_step(mods, gcfg, 500, rgb, mask, rng,
+                                 embeds=mods.embeds_rgb, guidance_scale=7.5,
+                                 masked_latents=ml))
+    assert cached == base
+
+
+def test_precompute_masked_latents_table(tiny_mods, key):
+    from gbnerf_tpu.guidance.stable import precompute_masked_latents
+
+    gcfg, mods = tiny_mods
+    imgs = jax.random.uniform(key, (3, 20, 28, 3))
+    masks = (jax.random.uniform(jax.random.fold_in(key, 1),
+                                (3, 20, 28)) > 0.6).astype(jnp.float32)
+    tbl = precompute_masked_latents(mods, imgs, masks, rng=key)
+    assert tbl.shape == (3, mods.latent_res, mods.latent_res, 4)
+    assert np.isfinite(np.asarray(tbl)).all()

@@ -347,3 +347,24 @@ def test_sd_version_2x_rejected():
                          vae_config=VAEConfig.tiny(),
                          text_config=CLIPTextConfig.tiny(),
                          latent_size=64)
+
+
+def test_stage2_cached_masked_latents_end_to_end(tmp_path):
+    """train() with the real (tiny) SD stack exercises the masked-latent
+    cache path: loop precompute → scene_dev table → per-view gather in
+    select_stage2_view → sd_train_step skips its conditioning encode."""
+    from gbnerf_tpu.train.loop import train
+
+    cfg = tiny_config(N_iters=4, i_print=2, i_weights=1000, i_video=1000,
+                      i_evaluate=1000, i_testset=1000,
+                      basedir=str(tmp_path), expname="mlcache")
+    cfg = dataclasses.replace(
+        cfg, guidance=dataclasses.replace(
+            cfg.guidance, is_rgb_guidance=True, sd_tiny=True,
+            cache_masked_latents=True,
+            prompt="a thing", prompt_normal="a normal map"))
+    scene = synthetic_scene()
+    out = train(cfg, scene=scene)
+    m = out["history"][-1][1]
+    assert np.isfinite(float(m["loss"]))
+    assert float(m["sds_loss"]) != 0.0
