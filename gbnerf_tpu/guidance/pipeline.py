@@ -42,8 +42,16 @@ def inpaint(
     strength: float = 1.0,
     use_csd: bool = False,
     w1: float = 1.0, w2: float = 0.5, w3: float = 7.5,
+    unet_params=None, vae_params=None,
 ) -> jnp.ndarray:
-    """Full inpainting generation → [S, S, 3] image in [0, 1]."""
+    """Full inpainting generation → [S, S, 3] image in [0, 1].
+
+    unet_params/vae_params: thread the tower weights as ARGUMENTS when
+    jitting this (jit of a closure over mods.*_params bakes ~3.6 GB of
+    constants into the executable — same invariant as the train steps).
+    """
+    unet_params = mods.unet_params if unet_params is None else unet_params
+    vae_params = mods.vae_params if vae_params is None else vae_params
     S, LR = mods.latent_size, mods.latent_res
     sched = mods.schedule
     k_lat, k_enc1, k_enc2 = jax.random.split(rng, 3)
@@ -52,7 +60,7 @@ def inpaint(
     mask512 = _resize(jnp.abs(mask)[None, ..., None], S)
     masked_image = img512 * (mask512 < 0.5)
 
-    enc = lambda im, k: mods.vae.apply({"params": mods.vae_params}, im, k,
+    enc = lambda im, k: mods.vae.apply({"params": vae_params}, im, k,
                                        method=AutoencoderKL.encode)
     masked_latents = enc(masked_image, k_enc1)
     mask_lat = _resize(mask512, LR, method="nearest")
@@ -81,7 +89,7 @@ def inpaint(
             [lat_in,
              jnp.concatenate([mask_lat] * k, axis=0),
              jnp.concatenate([masked_latents] * k, axis=0)], axis=-1)
-        eps = mods.unet.apply({"params": mods.unet_params}, unet_in, t, emb)
+        eps = mods.unet.apply({"params": unet_params}, unet_in, t, emb)
         if use_csd:
             pred = cfg_combine_bsd(eps[0], eps[1], eps[2], w1, w2, w3)[None]
         else:
@@ -89,7 +97,7 @@ def inpaint(
         return sched.ddim_step(latents, pred, t, t_prev)
 
     latents = jax.lax.fori_loop(0, n_steps, body, latents)
-    img = mods.vae.apply({"params": mods.vae_params}, latents,
+    img = mods.vae.apply({"params": vae_params}, latents,
                          method=AutoencoderKL.decode)
     return jnp.clip(img[0] * 0.5 + 0.5, 0.0, 1.0)
 
