@@ -358,14 +358,14 @@ def precompute_masked_latents(mods: SDModules, images, masks, *,
     S = mods.latent_size
 
     @jax.jit
-    def enc(img, mask, k):
+    def enc(img, mask, k, vparams):   # params as ARGUMENT, not constant
         rgb512 = _resize(img[None], S) * 2.0 - 1.0
         m512 = _resize(jnp.abs(mask)[None, ..., None], S)
-        return mods.vae.apply({"params": vp}, rgb512 * (m512 < 0.5), k,
+        return mods.vae.apply({"params": vparams}, rgb512 * (m512 < 0.5), k,
                               method=AutoencoderKL.encode)
 
     return jnp.concatenate(
-        [enc(images[i], masks[i], jax.random.fold_in(rng, i))
+        [enc(images[i], masks[i], jax.random.fold_in(rng, i), vp)
          for i in range(images.shape[0])], axis=0)
 
 
