@@ -381,12 +381,34 @@ def train(cfg: Config, *, guidance_fn=None,
                             t.i_evaluate, t.i_testset) if c and c > 0]
     rblock = cfg.render.render_block
 
+    # Preemption-graceful shutdown (beyond reference, whose only recovery
+    # is restart + ckpt reload): SIGTERM/SIGINT set a flag; the loop breaks
+    # at the next host iteration and the tail ckpt.save persists progress,
+    # so auto-resume loses at most one dispatch chunk instead of up to
+    # i_weights iterations.
+    import signal as _signal
+
+    _stop = {"sig": None}
+    _old = {}
+    for _s in (_signal.SIGTERM, _signal.SIGINT):
+        try:
+            _old[_s] = _signal.signal(
+                _s, lambda signum, frame: _stop.update(sig=signum))
+        except ValueError:          # not the main thread: skip
+            pass
+
     t0 = time.time()
     history = []
     last_eval = None
     nan_restores = 0
+    preempted = False
     it = start
     while it < t.N_iters:
+        if _stop["sig"] is not None:
+            preempted = True
+            print(f"[preempt] signal {_stop['sig']} at iter {it}: saving "
+                  "checkpoint and exiting (auto-resume will continue)")
+            break
         rng, key = jax.random.split(rng)
         if k_disp == 1:
             it += 1
@@ -504,8 +526,10 @@ def train(cfg: Config, *, guidance_fn=None,
                 with open(os.path.join(expdir, "metrics.jsonl"), "a") as fh:
                     fh.write(json.dumps({"iter": i + 1, **last_eval}) + "\n")
 
+    for _s, _h in _old.items():     # restore caller's signal handlers
+        _signal.signal(_s, _h)
     ckpt.save(int(state.step), jax.device_get(state))
     ckpt.close()
     return {"state": state, "render_fn": render_fn, "scene": scene,
             "history": history, "ema_params": ema_params,
-            "last_eval": last_eval}
+            "last_eval": last_eval, "preempted": preempted}

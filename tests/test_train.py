@@ -368,3 +368,33 @@ def test_stage2_cached_masked_latents_end_to_end(tmp_path):
     m = out["history"][-1][1]
     assert np.isfinite(float(m["loss"]))
     assert float(m["sds_loss"]) != 0.0
+
+
+def test_preemption_graceful_checkpoint_and_resume(tmp_path):
+    """SIGTERM mid-training → loop breaks, tail checkpoint persists, and a
+    rerun auto-resumes from the saved step and completes (beyond the
+    reference, whose only recovery is a manual restart)."""
+    import signal
+
+    from gbnerf_tpu.train.loop import train
+
+    cfg = tiny_config(N_iters=40, i_print=5, i_weights=1000, i_video=1000,
+                      i_evaluate=1000, i_testset=1000,
+                      basedir=str(tmp_path), expname="preempt")
+    scene = synthetic_scene()
+
+    def send_sigterm(i, m):
+        if i >= 10:
+            signal.raise_signal(signal.SIGTERM)
+
+    out = train(cfg, scene=scene, log_fn=send_sigterm)
+    assert out["preempted"]
+    saved = int(out["state"].step)
+    assert 10 <= saved < 40
+    # handler restored: raising again must not be swallowed by the trainer
+    assert signal.getsignal(signal.SIGTERM) is not None
+
+    out2 = train(cfg, scene=scene)        # auto-resume → runs to completion
+    assert not out2["preempted"]
+    assert int(out2["state"].step) == 40
+    assert out2["history"][0][0] > saved  # resumed, did not restart from 0
