@@ -132,15 +132,24 @@ class DreamBoothInpaintDataset:
 
 def make_lora_train_step(mods: SDModules, *, rank: int = 32,
                          lr: float = 1e-4, masked_loss: bool = False,
-                         mesh=None):
+                         mesh=None, mesh_axis: str = "data"):
     """Build (init_fn, step_fn) for LoRA training.
 
     step(lora_params, opt_state, batch, rng) → (lora_params, opt_state,
-    metrics); batch = {image [B,S,S,3] in [-1,1], mask [B,S,S],
+    metrics); batch = {image [B,S,S,3] u8 or [-1,1] f32, mask [B,S,S],
     embeds [B,L,D], instance_mask [B,S,S] | None}.
+
+    mesh: optional jax.sharding.Mesh — the reference's HF-Accelerate DDP
+    (train_dreambooth...py:491-496) becomes SPMD data parallelism: the
+    batch is sharding-constrained over ``mesh_axis`` (one sample group per
+    device), LoRA/frozen params stay replicated, and XLA inserts the
+    gradient all-reduce over ICI. Same step code 1-chip or N-chip.
     """
+    from .step import _make_ray_constraint
+
     sched: DiffusionSchedule = mods.schedule
     tx = optax.adamw(lr, b1=0.9, b2=0.999, weight_decay=1e-2)
+    constrain_batch = _make_ray_constraint(mesh, mesh_axis)
 
     def init_fn(rng):
         lora = init_lora(rng, mods.unet_params, rank=rank)
@@ -182,6 +191,9 @@ def make_lora_train_step(mods: SDModules, *, rank: int = 32,
 
     @jax.jit
     def _step(lora, opt_state, frozen, batch, rng):
+        batch = dict(batch,
+                     **constrain_batch({k: v for k, v in batch.items()
+                                        if v is not None}))
         loss, grads = jax.value_and_grad(loss_fn)(lora, frozen, batch, rng)
         updates, opt_state = tx.update(grads, opt_state, lora)
         lora = optax.apply_updates(lora, updates)
@@ -203,11 +215,16 @@ def train_lora(mods: SDModules, dataset: DreamBoothInpaintDataset,
                rank: int = 32, lr: float = 1e-4, seed: int = 0,
                output_dir: str = "./lora_out",
                checkpointing_steps: int = 500, masked_loss: bool = False,
-               log_every: int = 50):
+               log_every: int = 50, mesh=None):
     """Run the LoRA fine-tune loop; saves safetensors checkpoints."""
     os.makedirs(output_dir, exist_ok=True)
+    if mesh is None and jax.device_count() > 1:
+        from jax.sharding import Mesh
+
+        mesh = Mesh(np.asarray(jax.devices()), ("data",))
+        print(f"[lora] data-parallel over {jax.device_count()} devices")
     init_fn, step = make_lora_train_step(mods, rank=rank, lr=lr,
-                                         masked_loss=masked_loss)
+                                         masked_loss=masked_loss, mesh=mesh)
     lora, opt_state = init_fn(jax.random.PRNGKey(seed))
     print(f"[lora] training {lora_param_count(lora):,} adapter params")
 

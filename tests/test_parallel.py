@@ -384,3 +384,59 @@ def test_weak_scaling_constant_per_device_shard(setup):
         # state was donated; rebuild for the next mesh size
         state, _, _ = create_train_state(cfg, jax.random.PRNGKey(0))
     assert shapes[0] == shapes[1] == shapes[2] == (per_dev, 3)
+
+
+def test_lora_step_sharded_matches_unsharded():
+    """Data-parallel LoRA fine-tune (the reference's HF-Accelerate DDP,
+    train_dreambooth...py:491-496): the batch shards over the data axis,
+    adapters/frozen towers stay replicated, and one step matches the
+    unsharded result."""
+    from gbnerf_tpu.config import GuidanceConfig
+    from gbnerf_tpu.guidance.stable import build_sd_modules
+    from gbnerf_tpu.guidance.unet import UNetConfig
+    from gbnerf_tpu.guidance.vae import VAEConfig
+    from gbnerf_tpu.guidance.text import CLIPTextConfig
+    from gbnerf_tpu.train.lora_trainer import make_lora_train_step
+
+    gcfg = GuidanceConfig(sd_tiny=True)
+    mods = build_sd_modules(gcfg, jax.random.PRNGKey(0),
+                            unet_config=UNetConfig.tiny(),
+                            vae_config=VAEConfig.tiny(),
+                            text_config=CLIPTextConfig.tiny(),
+                            latent_size=64, dtype=jnp.float32)
+    B, S = 8, 64
+    key = jax.random.PRNGKey(1)
+    batch = {
+        "image": (jax.random.uniform(key, (B, S, S, 3)) * 255
+                  ).astype(jnp.uint8),
+        "mask": (jax.random.uniform(jax.random.fold_in(key, 1),
+                                    (B, S, S)) > 0.6).astype(jnp.uint8),
+        "embeds": jax.random.normal(jax.random.fold_in(key, 2), (B, 77, 32)),
+        "instance_mask": None,
+    }
+
+    init_fn, step0 = make_lora_train_step(mods, rank=4, lr=1e-3)
+    lora0, opt0 = init_fn(jax.random.PRNGKey(3))
+    l0, _, m0 = step0(lora0, opt0, batch, jax.random.PRNGKey(4))
+
+    mesh = Mesh(np.asarray(jax.devices()), ("data",))
+    _, step1 = make_lora_train_step(mods, rank=4, lr=1e-3, mesh=mesh)
+    lora1, opt1 = init_fn(jax.random.PRNGKey(3))
+    # feed an ACTUALLY distributed batch (one sample per device)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    shard = NamedSharding(mesh, P("data"))
+    batch_s = {k: (jax.device_put(v, shard) if v is not None else None)
+               for k, v in batch.items()}
+    assert len(batch_s["image"].addressable_shards) == jax.device_count()
+    l1, _, m1 = step1(lora1, opt1, batch_s, jax.random.PRNGKey(4))
+
+    assert np.isfinite(float(m1["loss"]))
+    # The SPMD loss (grad all-reduce over ICI) equals the single-device
+    # loss to float tolerance. Post-AdamW params are NOT compared: the
+    # zero-init adapters produce near-zero grads whose reduction-order
+    # sign flips become full ±lr steps through Adam's normalizer.
+    np.testing.assert_allclose(float(m1["loss"]), float(m0["loss"]),
+                               rtol=2e-5)
+    assert all(np.isfinite(np.asarray(x)).all()
+               for x in jax.tree_util.tree_leaves(l1))
