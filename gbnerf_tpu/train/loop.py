@@ -153,6 +153,12 @@ def render_only(cfg: Config) -> dict:
                   else scene.render_poses)
     maps = render_pose_path(render_fn, eparams, path_poses,
                             scene.hwf, render_factor=rf, block=rblock)
+    # Raw-array dumps alongside the PNGs (reference render_path saves
+    # per-frame depth/disp/weights npy files, run.py:1847-1869; stacked
+    # [N, H, W] arrays here — same data, one file per map).
+    for k in ("depth", "disp", "acc"):
+        if k in maps:
+            np.save(os.path.join(outdir, f"{k}.npy"), np.asarray(maps[k]))
     save_video(maps["rgb"], os.path.join(outdir, "spiral_rgb.mp4"))
     print(f"render_only: wrote {outdir}")
     return {"outdir": outdir, "step": step}
