@@ -40,9 +40,6 @@ _TETS = np.array([
     (0, 5, 1, 7),   # x, z, y
 ], np.int32)
 
-# The four faces (vertex triples) of a tetrahedron, for watertight checks.
-_TET_EDGES = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
-
 
 def density_grid(sigma_fn: Callable, resolution: int,
                  bound_min: Sequence[float], bound_max: Sequence[float],
