@@ -64,10 +64,14 @@ def load_blender_data(basedir: str, half_res: bool = False, testskip: int = 1):
                 stem = base[2:-4] if base.startswith("r_") else base[:-4]
                 for sub, prefix, dest in (("mask", "m_", masks),
                                           ("object", "o_", objects)):
-                    p = os.path.join(d, "..", sub, f"{prefix}{stem}.png")
-                    p2 = os.path.join(os.path.dirname(d), sub,
-                                      f"{prefix}{stem}.png")
-                    for cand in (p2, p):
+                    # Reference resolves companions INSIDE the split dir:
+                    # fname.split('/r_')[0] + '/mask/m_*.png' →
+                    # <base>/train/mask/ (load_blender.py:58-62); scene-root
+                    # <base>/mask/ kept as a tolerant fallback.
+                    p_split = os.path.join(d, sub, f"{prefix}{stem}.png")
+                    p_root = os.path.join(os.path.dirname(d), sub,
+                                          f"{prefix}{stem}.png")
+                    for cand in (p_split, p_root):
                         if os.path.exists(cand):
                             dest.append(np.asarray(imageio.imread(cand)))
                             break

@@ -17,9 +17,12 @@ Covered seams (the ones the original authors left goldenable via their
   - SigmaLoss depth likelihood                (loss.py:8-44)
   - Perp-Neg aggregation                      (guidance/perpneg_utils.py:17-48)
   - directional prompt embeddings             (nerf/utils.py:8-74)
+  - blender loader end-to-end                 (load_blender.py:36-110)
+  - DTU loader end-to-end                     (load_dtu.py:6-71)
 
 Any intentional divergence is asserted around, with the reason stated.
 """
+import os
 import sys
 import types
 
@@ -533,3 +536,102 @@ def test_directional_embeddings_golden(ref_nerf_utils, rng):
     np.testing.assert_allclose(t2n(ref_wb)[:B], 1.0)
     np.testing.assert_allclose(np.asarray(got_wb), t2n(ref_wb)[B:],
                                rtol=1e-5, atol=1e-7)
+
+
+# ------------------------------------------- alt dataset loaders (round 2)
+
+@pytest.fixture(scope="module")
+def ref_blender():
+    if "torchvision" not in sys.modules:
+        sys.modules["torchvision"] = types.ModuleType("torchvision")
+    return _load_ref_module("ref_load_blender", "load_blender.py")
+
+
+@pytest.fixture(scope="module")
+def ref_dtu():
+    return _load_ref_module("ref_load_dtu", "load_dtu.py")
+
+
+def _write_blender_fixture(tmp, rng):
+    import imageio.v2 as imageio
+    import json as _json
+
+    H = W = 8
+    for s, n in (("train", 3), ("val", 2), ("test", 2)):
+        os.makedirs(os.path.join(tmp, s), exist_ok=True)
+        frames = []
+        for i in range(n):
+            img = (rng.random((H, W, 4)) * 255).astype(np.uint8)
+            imageio.imwrite(os.path.join(tmp, s, f"r_{i}.png"), img)
+            M = np.eye(4)
+            M[:3, 3] = rng.normal(size=3)
+            frames.append({"file_path": f"./{s}/r_{i}",
+                           "transform_matrix": M.tolist()})
+        with open(os.path.join(tmp, f"transforms_{s}.json"), "w") as fp:
+            _json.dump({"camera_angle_x": 0.7, "frames": frames}, fp)
+    # masks/objects live INSIDE the split dir (reference load_blender.py:
+    # fname.split('/r_')[0] + '/mask/m_*.png' → <base>/train/mask/)
+    os.makedirs(os.path.join(tmp, "train", "mask"))
+    os.makedirs(os.path.join(tmp, "train", "object"))
+    for i in range(3):
+        imageio.imwrite(os.path.join(tmp, "train", "mask", f"m_{i}.png"),
+                        (rng.random((H, W)) * 255).astype(np.uint8))
+        imageio.imwrite(os.path.join(tmp, "train", "object", f"o_{i}.png"),
+                        (rng.random((H, W, 4)) * 255).astype(np.uint8))
+
+
+def test_blender_loader_golden(ref_blender, tmp_path, rng):
+    import os as _os
+
+    from gbnerf_tpu.data.blender import load_blender_data
+
+    tmp = str(tmp_path / "blender")
+    _os.makedirs(tmp)
+    _write_blender_fixture(tmp, rng)
+
+    r_imgs, r_poses, r_rp, r_hwf, r_split, r_masks, r_objs = \
+        ref_blender.load_blender_data(tmp, half_res=False, testskip=1)
+    imgs, poses, rp, hwf, split, masks, objs = load_blender_data(
+        tmp, half_res=False, testskip=1)
+
+    np.testing.assert_allclose(imgs, r_imgs, atol=1e-6)
+    np.testing.assert_allclose(poses, r_poses, atol=1e-6)
+    np.testing.assert_allclose(rp, t2n(r_rp), atol=1e-5)
+    np.testing.assert_allclose(hwf, r_hwf, rtol=1e-6)
+    for a, b in zip(split, r_split):
+        assert (a == b).all()
+    np.testing.assert_allclose(masks, r_masks, atol=1e-6)
+    np.testing.assert_allclose(objs, r_objs, atol=1e-6)
+
+
+def test_dtu_loader_golden(ref_dtu, tmp_path, rng):
+    import imageio.v2 as imageio
+
+    from gbnerf_tpu.data.blender import load_dtu_data
+
+    tmp = str(tmp_path / "dtu")
+    os.makedirs(os.path.join(tmp, "image"))
+    n, H, W = 3, 8, 8
+    cams = {}
+    for i in range(n):
+        img = (rng.random((H, W, 3)) * 255).astype(np.uint8)
+        imageio.imwrite(os.path.join(tmp, "image", f"{i:03d}.jpg"), img)
+        K = np.array([[20.0, 0, 4], [0, 22.0, 4], [0, 0, 1]])
+        R = np.linalg.qr(rng.normal(size=(3, 3)))[0]
+        if np.linalg.det(R) < 0:
+            R[:, 0] *= -1
+        t = rng.normal(size=3)
+        wm = np.eye(4)
+        wm[:3] = K @ np.concatenate([R, t[:, None]], 1)
+        cams[f"world_mat_{i}"] = wm
+        sm = np.eye(4)
+        sm[:3, :3] *= 2.0
+        sm[:3, 3] = [0.1, 0.2, 0.3]
+        cams[f"scale_mat_{i}"] = sm
+    np.savez(os.path.join(tmp, "cameras.npz"), **cams)
+
+    r_imgs, r_poses, r_hwf = ref_dtu.load_dtu_data(tmp)
+    imgs, poses, hwf = load_dtu_data(tmp)
+    np.testing.assert_allclose(imgs, r_imgs, atol=1e-6)
+    np.testing.assert_allclose(poses, r_poses, atol=1e-5)
+    np.testing.assert_allclose(hwf, r_hwf, rtol=1e-6)
