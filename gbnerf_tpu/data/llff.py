@@ -383,7 +383,12 @@ def load_nerd_data(basedir: str, factor: int = 8, *, recenter: bool = True,
     scene = load_llff_data(basedir, factor, recenter=recenter,
                            bd_factor=bd_factor, spherify=spherify,
                            origin=False, test_split_count=0)
-    mskdir = os.path.join(basedir, f"masks_{factor}" if factor != 1 else "masks")
+    sfx = f"_{factor}" if factor != 1 else ""
+    # Reference layout: masks live INSIDE the images dir
+    # (load_nerd.py:92 'images'+sfx+'/masks'); masks_{f}/ kept as fallback.
+    candidates = (os.path.join(basedir, f"images{sfx}", "masks"),
+                  os.path.join(basedir, f"masks{sfx}"))
+    mskdir = next((d for d in candidates if os.path.isdir(d)), candidates[0])
     if os.path.isdir(mskdir):
         H, W = scene.images.shape[1:3]
         masks = np.stack([_load_mask_like(f, (H, W), normalize_max=False)

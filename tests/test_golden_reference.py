@@ -19,6 +19,7 @@ Covered seams (the ones the original authors left goldenable via their
   - directional prompt embeddings             (nerf/utils.py:8-74)
   - blender loader end-to-end                 (load_blender.py:36-110)
   - DTU loader end-to-end                     (load_dtu.py:6-71)
+  - NeRD loader end-to-end                    (load_nerd.py:244-326)
 
 Any intentional divergence is asserted around, with the reason stated.
 """
@@ -635,3 +636,69 @@ def test_dtu_loader_golden(ref_dtu, tmp_path, rng):
     np.testing.assert_allclose(imgs, r_imgs, atol=1e-6)
     np.testing.assert_allclose(poses, r_poses, atol=1e-5)
     np.testing.assert_allclose(hwf, r_hwf, rtol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def ref_nerd():
+    if "matplotlib" not in sys.modules:
+        import matplotlib
+        matplotlib.use("Agg")
+    return _load_ref_module("ref_load_nerd", "load_nerd.py")
+
+
+def test_nerd_loader_golden(ref_nerd, tmp_path, rng):
+    """NeRD layout end-to-end: masks live INSIDE the images dir
+    (load_nerd.py:92 'images'+sfx+'/masks') — this test runs the reference
+    loader on a synthesized scene and compares images/masks/objects/bds/
+    poses/render path against load_nerd_data."""
+    import imageio.v2 as imageio
+
+    from gbnerf_tpu.data.llff import load_nerd_data
+
+    tmp = str(tmp_path / "nerd")
+    n, H0, W0, f = 4, 32, 40, 4
+    H, W = H0 // f, W0 // f
+    os.makedirs(os.path.join(tmp, "images"))
+    os.makedirs(os.path.join(tmp, f"images_{f}", "masks"))
+    pb = []
+    for i in range(n):
+        imageio.imwrite(os.path.join(tmp, "images", f"im_{i}.jpg"),
+                        (rng.random((H0, W0, 3)) * 255).astype(np.uint8))
+        imageio.imwrite(os.path.join(tmp, f"images_{f}", f"im_{i}.jpg"),
+                        (rng.random((H, W, 3)) * 255).astype(np.uint8))
+        imageio.imwrite(
+            os.path.join(tmp, f"images_{f}", "masks", f"im_{i}.jpg"),
+            (255 * (rng.random((H, W)) > 0.5)).astype(np.uint8))
+        th = 2 * np.pi * i / n
+        pos = np.array([2 * np.sin(th), 0.1 * i, 2 * np.cos(th)])
+        z = pos / np.linalg.norm(pos)
+        up = np.array([0.0, 1.0, 0.0])
+        x = np.cross(up, z); x /= np.linalg.norm(x)
+        y = np.cross(z, x)
+        # llff pose_bounds convention: [down, right, back] columns + hwf
+        m = np.stack([-y, x, z], 1)
+        pose = np.concatenate(
+            [np.concatenate([m, pos[:, None]], 1),
+             np.array([[H0], [W0], [30.0]])], 1)        # [3,5]
+        pb.append(np.concatenate([pose.ravel(), [1.0, 6.0]]))
+    np.save(os.path.join(tmp, "poses_bounds.npy"),
+            np.stack(pb).astype(np.float64))
+
+    (r_imgs, r_poses, r_bds, r_rp, r_itest, r_masks,
+     r_objs) = ref_nerd.load_nerd_data(tmp, factor=f, recenter=True,
+                                       bd_factor=0.75, spherify=False)
+    scene = load_nerd_data(tmp, factor=f, recenter=True, bd_factor=0.75,
+                           spherify=False)
+
+    np.testing.assert_allclose(scene.images, r_imgs, atol=1e-6)
+    np.testing.assert_allclose(scene.masks, r_masks, atol=1e-6)
+    # objects ride in the inpainted_depths slot (channel 0; documented)
+    np.testing.assert_allclose(scene.inpainted_depths, r_objs[..., 0],
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(scene.bds).squeeze(),
+                               np.asarray(r_bds).squeeze(), rtol=1e-5)
+    np.testing.assert_allclose(scene.poses[:, :3, :4], r_poses[:, :3, :4],
+                               atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(scene.render_poses)[:, :3, :4],
+        np.asarray(r_rp)[:, :3, :4], atol=1e-4)
