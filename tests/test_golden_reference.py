@@ -20,6 +20,7 @@ Covered seams (the ones the original authors left goldenable via their
   - blender loader end-to-end                 (load_blender.py:36-110)
   - DTU loader end-to-end                     (load_dtu.py:6-71)
   - NeRD loader end-to-end                    (load_nerd.py:244-326)
+  - SPIn-NeRF LLFF loader end-to-end          (load_llff.py:68-451)
 
 Any intentional divergence is asserted around, with the reason stated.
 """
@@ -699,6 +700,78 @@ def test_nerd_loader_golden(ref_nerd, tmp_path, rng):
                                np.asarray(r_bds).squeeze(), rtol=1e-5)
     np.testing.assert_allclose(scene.poses[:, :3, :4], r_poses[:, :3, :4],
                                atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(scene.render_poses)[:, :3, :4],
+        np.asarray(r_rp)[:, :3, :4], atol=1e-4)
+
+
+def test_spinnerf_llff_loader_golden(ref_llff, tmp_path, rng):
+    """THE primary production path: SPIn-NeRF LLFF loading (origin=True —
+    RGB_inpainted / label / Depth_inpainted under images_4/) end-to-end
+    against the reference, incl. its per-file mask max-normalization,
+    depth /255, bd rescale, recentering, plain spiral path
+    (spherify_hack=False: our loader documents that branch as a no-op
+    divergence), and the hard 40/rest pose split (run on 44 views so the
+    split is real)."""
+    import imageio.v2 as imageio
+
+    from gbnerf_tpu.data.llff import load_llff_data
+
+    tmp = str(tmp_path / "spin")
+    # Real SPIn-NeRF layout: poses_bounds carries test+train poses but the
+    # asset dirs hold ONLY the train views (the first 40 poses have no
+    # images) — both loaders infer the 40/rest split from that difference.
+    n, n_test, H0, W0, f = 44, 40, 32, 40, 4
+    H, W = H0 // f, W0 // f
+    os.makedirs(os.path.join(tmp, "images"))
+    for sub in ("RGB_inpainted", "label", "Depth_inpainted"):
+        os.makedirs(os.path.join(tmp, f"images_{f}", sub))
+    pb = []
+    for i in range(n):
+        imageio.imwrite(os.path.join(tmp, "images", f"im_{i:03d}.jpg"),
+                        (rng.random((H0, W0, 3)) * 255).astype(np.uint8))
+        if i >= n_test:
+            imageio.imwrite(
+                os.path.join(tmp, f"images_{f}", "RGB_inpainted",
+                             f"im_{i:03d}.png"),
+                (rng.random((H, W, 3)) * 255).astype(np.uint8))
+            imageio.imwrite(
+                os.path.join(tmp, f"images_{f}", "label", f"im_{i:03d}.png"),
+                (200 * (rng.random((H, W)) > 0.6)).astype(np.uint8))
+            imageio.imwrite(
+                os.path.join(tmp, f"images_{f}", "Depth_inpainted",
+                             f"im_{i:03d}.png"),
+                (rng.random((H, W)) * 255).astype(np.uint8))
+        th = 2 * np.pi * i / n
+        pos = np.array([2 * np.sin(th), 0.05 * i, 2 * np.cos(th)])
+        z = pos / np.linalg.norm(pos)
+        up = np.array([0.0, 1.0, 0.0])
+        x = np.cross(up, z); x /= np.linalg.norm(x)
+        y = np.cross(z, x)
+        m = np.stack([-y, x, z], 1)            # llff [down, right, back]
+        pose = np.concatenate(
+            [np.concatenate([m, pos[:, None]], 1),
+             np.array([[H0], [W0], [30.0]])], 1)
+        pb.append(np.concatenate([pose.ravel(), [1.0, 6.0]]))
+    np.save(os.path.join(tmp, "poses_bounds.npy"),
+            np.stack(pb).astype(np.float64))
+
+    (r_imgs, r_poses, r_bds, r_rp, r_itest, r_masks, r_depths, r_midx,
+     r_ptest) = ref_llff.load_llff_data(
+        tmp, factor=f, recenter=True, bd_factor=0.75, spherify=False,
+        spherify_hack=False, origin=True)
+    scene = load_llff_data(tmp, factor=f, origin=True, recenter=True,
+                           bd_factor=0.75, spherify=False)
+
+    np.testing.assert_allclose(scene.images, r_imgs, atol=1e-6)
+    np.testing.assert_allclose(scene.masks, r_masks, atol=1e-6)
+    np.testing.assert_allclose(scene.inpainted_depths, r_depths, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(scene.bds).squeeze(),
+                               np.asarray(r_bds).squeeze(), rtol=1e-5)
+    np.testing.assert_allclose(scene.poses[:, :3, :4], r_poses[:, :3, :4],
+                               atol=1e-5)
+    np.testing.assert_allclose(scene.poses_test[:, :3, :4],
+                               r_ptest[:, :3, :4], atol=1e-5)
     np.testing.assert_allclose(
         np.asarray(scene.render_poses)[:, :3, :4],
         np.asarray(r_rp)[:, :3, :4], atol=1e-4)
