@@ -21,6 +21,7 @@ Covered seams (the ones the original authors left goldenable via their
   - DTU loader end-to-end                     (load_dtu.py:6-71)
   - NeRD loader end-to-end                    (load_nerd.py:244-326)
   - SPIn-NeRF LLFF loader end-to-end          (load_llff.py:68-451)
+  - COLMAP binary cross-parser interop        (read_write_model.py:128-481)
 
 Any intentional divergence is asserted around, with the reason stated.
 """
@@ -775,3 +776,85 @@ def test_spinnerf_llff_loader_golden(ref_llff, tmp_path, rng):
     np.testing.assert_allclose(
         np.asarray(scene.render_poses)[:, :3, :4],
         np.asarray(r_rp)[:, :3, :4], atol=1e-4)
+
+
+@pytest.fixture(scope="module")
+def ref_colmap():
+    return _load_ref_module("ref_read_write_model",
+                            "colmapUtils/read_write_model.py")
+
+
+def _toy_model(rng, colmap_mod=None):
+    """A small COLMAP model in the given module's record types."""
+    from gbnerf_tpu.data import colmap as ours
+
+    mk_cam = (colmap_mod.Camera if colmap_mod else ours.Camera)
+    mk_img = (colmap_mod.Image if colmap_mod else ours.Image)
+    mk_pt = (colmap_mod.Point3D if colmap_mod else ours.Point3D)
+    cams = {1: mk_cam(id=1, model="PINHOLE", width=64, height=48,
+                      params=np.array([50.0, 52.0, 32.0, 24.0]))}
+    images, points = {}, {}
+    for i in (1, 2):
+        q = rng.normal(size=4)
+        q /= np.linalg.norm(q)
+        q *= np.sign(q[0]) or 1.0
+        images[i] = mk_img(
+            id=i, qvec=q, tvec=rng.normal(size=3), camera_id=1,
+            name=f"im_{i}.jpg",
+            xys=rng.uniform(0, 48, size=(3, 2)),
+            point3D_ids=np.array([1, -1, 2], np.int64))
+    for p in (1, 2):
+        points[p] = mk_pt(
+            id=p, xyz=rng.normal(size=3),
+            rgb=(rng.random(3) * 255).astype(np.uint8),
+            error=float(rng.random()),
+            image_ids=np.array([1, 2]), point2D_idxs=np.array([0, 2]))
+    return cams, images, points
+
+
+def _assert_models_equal(a, b):
+    """(cams, images, points) field-wise equality across record types."""
+    for da, db in zip(a, b):
+        assert set(da) == set(db)
+        for k in da:
+            ra, rb = da[k], db[k]
+            for field in ("id", "model", "width", "height", "params", "qvec",
+                          "tvec", "camera_id", "name", "xys", "point3D_ids",
+                          "xyz", "rgb", "error", "image_ids", "point2D_idxs"):
+                va = getattr(ra, field, None)
+                vb = getattr(rb, field, None)
+                if va is None and vb is None:
+                    continue
+                if isinstance(va, np.ndarray) or isinstance(vb, np.ndarray):
+                    np.testing.assert_allclose(
+                        np.asarray(va, np.float64).ravel(),
+                        np.asarray(vb, np.float64).ravel(),
+                        rtol=1e-12, err_msg=f"{k}.{field}")
+                else:
+                    assert va == vb, (k, field, va, vb)
+
+
+def test_colmap_binary_interop_golden(ref_colmap, tmp_path, rng):
+    """Cross-parser interop: models written by OUR binary writers parse
+    byte-correctly with the reference's read_model, and models written by
+    the reference's writers parse with ours (colmapUtils/
+    read_write_model.py:128-481)."""
+    from gbnerf_tpu.data import colmap as ours
+
+    # ours → reference
+    d1 = str(tmp_path / "ours")
+    os.makedirs(d1)
+    cams, images, points = _toy_model(rng)
+    ours.write_model(cams, images, points, d1, ext=".bin")
+    ref_model = ref_colmap.read_model(d1, ext=".bin")
+    _assert_models_equal((cams, images, points), ref_model)
+
+    # reference → ours
+    d2 = str(tmp_path / "ref")
+    os.makedirs(d2)
+    r_cams, r_images, r_points = _toy_model(rng, colmap_mod=ref_colmap)
+    ref_colmap.write_model(r_cams, r_images, r_points, d2, ext=".bin")
+    got = (ours.read_cameras_binary(os.path.join(d2, "cameras.bin")),
+           ours.read_images_binary(os.path.join(d2, "images.bin")),
+           ours.read_points3d_binary(os.path.join(d2, "points3D.bin")))
+    _assert_models_equal((r_cams, r_images, r_points), got)
