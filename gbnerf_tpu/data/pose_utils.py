@@ -7,8 +7,8 @@ model to the LLFF poses_bounds.npy convention:
 
   stored 3×5 per image = [[-u | r | -t | trans | hwf]] columns in COLMAP's
   (x right, y down, z forward) frame → LLFF's column permutation
-  [y, x, −z, t, hwf]; bounds = 0.1 / 99.9 depth percentiles of the visible
-  3D points per image.
+  [y, x, −z, t, hwf]; bounds = 0.5 / 99.5 depth percentiles of the visible
+  3D points per image (pose_utils.py:82).
 """
 from __future__ import annotations
 
@@ -52,6 +52,10 @@ def colmap_to_poses_bounds(basedir: str) -> np.ndarray:
     if cam.model in ("SIMPLE_PINHOLE", "SIMPLE_RADIAL", "RADIAL"):
         focal = cam.params[0]
     else:
+        # Divergence, documented: the reference takes params[0] (= fx)
+        # unconditionally (pose_utils.py:21); for PINHOLE-family models we
+        # average fx/fy, which is strictly more correct for the LLFF
+        # single-focal convention.
         focal = 0.5 * (cam.params[0] + cam.params[1])
 
     order = sorted(images.keys(), key=lambda i: images[i].name)
@@ -76,7 +80,7 @@ def colmap_to_poses_bounds(basedir: str) -> np.ndarray:
             p3d = points[pid].xyz
             zs.append(float(R[2] @ p3d + t[2]))
         if zs:
-            close, inf = np.percentile(zs, 0.1), np.percentile(zs, 99.9)
+            close, inf = np.percentile(zs, 0.5), np.percentile(zs, 99.5)
         else:
             close, inf = 0.1, 100.0
         rows.append(np.concatenate([p35.ravel(), [close, inf]]))

@@ -858,3 +858,63 @@ def test_colmap_binary_interop_golden(ref_colmap, tmp_path, rng):
            ours.read_images_binary(os.path.join(d2, "images.bin")),
            ours.read_points3d_binary(os.path.join(d2, "points3D.bin")))
     _assert_models_equal((r_cams, r_images, r_points), got)
+
+
+@pytest.fixture(scope="module")
+def ref_pose_utils():
+    """Import the reference's llff.poses.pose_utils (skimage isn't in the
+    image — stub skimage.transform, which only minify_v0 touches)."""
+    if "skimage" not in sys.modules:
+        sk = types.ModuleType("skimage")
+        sk.transform = types.ModuleType("skimage.transform")
+        sys.modules["skimage"] = sk
+        sys.modules["skimage.transform"] = sk.transform
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    from llff.poses import pose_utils  # noqa: E402
+    return pose_utils
+
+
+def test_colmap_to_poses_bounds_golden(ref_pose_utils, tmp_path, rng):
+    """Offline COLMAP→poses_bounds conversion end-to-end vs the reference
+    (pose_utils.py:11-88 load_colmap_data + save_poses): same sparse model
+    (written with OUR binary writers, read by the reference's parser) must
+    produce byte-identical poses_bounds rows — column permutation, w2c
+    inversion, per-image 0.5/99.5 depth percentiles, name-sorted order."""
+    from gbnerf_tpu.data import colmap as ours
+    from gbnerf_tpu.data.pose_utils import colmap_to_poses_bounds
+
+    base = str(tmp_path / "scene")
+    sparse0 = os.path.join(base, "sparse", "0")
+    os.makedirs(sparse0)
+
+    # 4 images (ids 1..N as COLMAP emits; names deliberately NOT in id
+    # order to exercise the name-sort), 6 points, full visibility.
+    cams = {1: ours.Camera(id=1, model="SIMPLE_RADIAL", width=64, height=48,
+                           params=np.array([50.0, 32.0, 24.0, 0.01]))}
+    n_img, n_pts = 4, 6
+    images, points = {}, {}
+    for i in range(1, n_img + 1):
+        q = rng.normal(size=4)
+        q /= np.linalg.norm(q)
+        images[i] = ours.Image(
+            id=i, qvec=q, tvec=rng.normal(size=3) + [0, 0, 4.0], camera_id=1,
+            name=f"im_{(7 * i) % n_img}.jpg",
+            xys=rng.uniform(0, 48, size=(n_pts, 2)),
+            point3D_ids=np.arange(1, n_pts + 1, dtype=np.int64))
+    for p in range(1, n_pts + 1):
+        points[p] = ours.Point3D(
+            id=p, xyz=rng.normal(size=3) * 0.5,
+            rgb=(rng.random(3) * 255).astype(np.uint8),
+            error=float(rng.random()),
+            image_ids=np.arange(1, n_img + 1, dtype=np.int64),
+            point2D_idxs=np.full(n_img, p - 1, np.int64))
+    ours.write_model(cams, images, points, sparse0, ext=".bin")
+
+    r_poses, r_pts3d, r_perm = ref_pose_utils.load_colmap_data(base)
+    ref_pose_utils.save_poses(base, r_poses, r_pts3d, r_perm)
+    ref_rows = np.load(os.path.join(base, "poses_bounds.npy"))
+
+    rows = colmap_to_poses_bounds(base)
+    assert rows.shape == ref_rows.shape == (n_img, 17)
+    np.testing.assert_allclose(rows, ref_rows, rtol=1e-10, atol=1e-12)
