@@ -860,6 +860,82 @@ def test_colmap_binary_interop_golden(ref_colmap, tmp_path, rng):
     _assert_models_equal((r_cams, r_images, r_points), got)
 
 
+def test_load_colmap_depth_golden(ref_llff, tmp_path, rng):
+    """Sparse COLMAP depth supervision end-to-end vs the reference
+    (load_llff.py:467-518): same sparse model + poses_bounds must produce
+    identical per-train-image {depth, coord, weight} lists, including the
+    reference's quirks our loader intentionally mirrors — keypoints from
+    image id k+40 but pose/bounds from index k, the 2·exp(−(err/ē)²)
+    weights, the [near,far] depth filter, and coord/factor scaling."""
+    import imageio.v2 as imageio
+
+    from gbnerf_tpu.data import colmap as oc
+    from gbnerf_tpu.data.llff import load_colmap_depth
+
+    base = str(tmp_path / "scene")
+    n_img, n_pts, f = 43, 12, 4
+    sparse0 = os.path.join(base, "sparse", "0")
+    os.makedirs(sparse0)
+    os.makedirs(os.path.join(base, "images"))
+    os.makedirs(os.path.join(base, f"images_{f}", "label"), exist_ok=True)
+
+    # Ring of cameras looking at the origin; points near the origin so
+    # depths land inside the bounds, plus one far point that must filter.
+    cams = {1: oc.Camera(id=1, model="SIMPLE_RADIAL", width=20, height=16,
+                         params=np.array([18.0, 10.0, 8.0, 0.0]))}
+    images, points = {}, {}
+    pb = []
+    for i in range(1, n_img + 1):
+        th = 2 * np.pi * i / n_img
+        c = np.array([4 * np.sin(th), 0.3 * np.cos(3 * th), 4 * np.cos(th)])
+        z = -c / np.linalg.norm(c)                  # COLMAP +z forward
+        up = np.array([0.0, 1.0, 0.0])
+        x = np.cross(up, z); x /= np.linalg.norm(x)
+        y = np.cross(z, x)
+        c2w_R = np.stack([x, y, z], 1)
+        R = c2w_R.T
+        t = -R @ c
+        images[i] = oc.Image(
+            id=i, qvec=oc.rotmat2qvec(R), tvec=t, camera_id=1,
+            name=f"im_{i:03d}.jpg",
+            xys=rng.uniform(0, 16, size=(n_pts + 1, 2)),
+            point3D_ids=np.concatenate(
+                [np.arange(1, n_pts + 1), [-1]]).astype(np.int64))
+        pose35 = np.concatenate(
+            [np.stack([-y, x, z], 1), c[:, None],
+             np.array([[16.0], [20.0], [18.0]])], 1)
+        pb.append(np.concatenate([pose35.ravel(), [2.0, 6.0]]))
+        imageio.imwrite(os.path.join(base, "images", f"im_{i:03d}.jpg"),
+                        (rng.random((16, 20, 3)) * 255).astype(np.uint8))
+        imageio.imwrite(
+            os.path.join(base, f"images_{f}", f"im_{i:03d}.jpg"),
+            (rng.random((4, 5, 3)) * 255).astype(np.uint8))
+        imageio.imwrite(
+            os.path.join(base, f"images_{f}", "label", f"im_{i:03d}.png"),
+            (255 * (rng.random((4, 5)) > 0.5)).astype(np.uint8))
+    np.save(os.path.join(base, "poses_bounds.npy"),
+            np.stack(pb).astype(np.float64))
+
+    for p in range(1, n_pts + 1):
+        xyz = (rng.normal(size=3) * 0.3 if p < n_pts
+               else np.array([0.0, 0.0, 9.0]))     # far outlier → filtered
+        points[p] = oc.Point3D(
+            id=p, xyz=xyz, rgb=(rng.random(3) * 255).astype(np.uint8),
+            error=float(rng.random()) + 0.1,
+            image_ids=np.arange(1, n_img + 1, dtype=np.int64),
+            point2D_idxs=np.full(n_img, p - 1, np.int64))
+    oc.write_model(cams, images, points, sparse0, ext=".bin")
+
+    ref_list = ref_llff.load_colmap_depth(base, factor=f, bd_factor=0.75)
+    got_list = load_colmap_depth(base, factor=f, bd_factor=0.75)
+
+    assert len(got_list) == len(ref_list) == n_img - 40
+    for got, ref in zip(got_list, ref_list):
+        np.testing.assert_allclose(got["depth"], ref["depth"], rtol=1e-5)
+        np.testing.assert_allclose(got["coord"], ref["coord"], rtol=1e-6)
+        np.testing.assert_allclose(got["weight"], ref["weight"], rtol=1e-5)
+
+
 @pytest.fixture(scope="module")
 def ref_pose_utils():
     """Import the reference's llff.poses.pose_utils (skimage isn't in the
