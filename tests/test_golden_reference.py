@@ -860,6 +860,129 @@ def test_colmap_binary_interop_golden(ref_colmap, tmp_path, rng):
     _assert_models_equal((r_cams, r_images, r_points), got)
 
 
+@pytest.fixture(scope="module")
+def ref_run(ref_helpers):
+    """Import the reference's run.py (render_rays lives there). Stubs the
+    module-level imports absent from this image (dotenv, lpips, omegaconf,
+    tinycudann) and no-ops torch.set_default_device('cuda') (run.py:41)."""
+    for name in ("dotenv", "lpips", "omegaconf", "tinycudann"):
+        if name not in sys.modules:
+            mod = types.ModuleType(name)
+            if name == "dotenv":
+                mod.load_dotenv = lambda *a, **k: None
+            if name == "omegaconf":
+                mod.OmegaConf = object
+            sys.modules[name] = mod
+    if "matplotlib" not in sys.modules:
+        import matplotlib
+        matplotlib.use("Agg")
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    orig = torch.set_default_device
+    torch.set_default_device = lambda *a, **k: None
+    try:
+        import importlib.util
+        spec = importlib.util.spec_from_file_location(
+            "ref_run", "/root/reference/run.py")
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules["ref_run"] = mod
+        spec.loader.exec_module(mod)
+    finally:
+        torch.set_default_device = orig
+    return mod
+
+
+@pytest.mark.parametrize("lindisp", [False, True])
+def test_render_rays_golden(ref_run, ref_helpers, rng, lindisp):
+    """END-TO-END render golden: the reference's full hierarchical
+    render_rays (run.py:2235-2381 — z-val construction, run_network
+    embed+query, raw2outputs, sample_pdf fine resampling, merge, second
+    pass) vs our render_rays on the SAME converted MLP weights and rays.
+    Deterministic configuration (perturb=0 → det inverse-CDF), both
+    lindisp branches, in float64 on both sides: the hierarchical pipeline
+    is chaotic (an ulp-level field difference moves fine-sample positions
+    by ~1e-2 where the CDF is flat), so a strict glue comparison needs the
+    framework-libm noise floor pushed below the chaos threshold. Composes
+    every component golden into one pipeline check."""
+    import sys as _sys
+    from pathlib import Path
+    _sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    from convert_ref_ckpt import torch_nerf_to_flax
+
+    import jax
+    from gbnerf_tpu.core.fields import NeRFMLP, make_field_fn
+    from gbnerf_tpu.core.render import render_rays
+
+    multires, multires_views = 4, 2
+    D, W, skip = 3, 32, 1
+    in_ch = 3 * (1 + 2 * multires)
+    in_ch_views = 3 * (1 + 2 * multires_views)
+    torch.manual_seed(3)
+    coarse = ref_helpers.NeRF(D=D, W=W, input_ch=in_ch,
+                              input_ch_views=in_ch_views, skips=[skip],
+                              use_viewdirs=True).double()
+    fine = ref_helpers.NeRF(D=D, W=W, input_ch=in_ch,
+                            input_ch_views=in_ch_views, skips=[skip],
+                            use_viewdirs=True).double()
+
+    embed_fn, _ = ref_helpers.get_embedder(multires, 0)
+    embeddirs_fn, _ = ref_helpers.get_embedder(multires_views, 0)
+
+    def nqf(inputs, viewdirs, fn):
+        return ref_run.run_network(inputs, viewdirs, fn, embed_fn,
+                                   embeddirs_fn, netchunk=1 << 16)
+
+    N, NS, NI = 24, 17, 9
+    rays_o = rng.standard_normal((N, 3))
+    rays_d = (rng.standard_normal((N, 3)) * rng.uniform(0.5, 1.5, (N, 1)))
+    viewdirs = rays_d / np.linalg.norm(rays_d, axis=-1, keepdims=True)
+    near = rng.uniform(0.3, 0.8, (N, 1))
+    far = rng.uniform(3.0, 5.0, (N, 1))
+
+    rb = np.concatenate([rays_o, rays_d, near, far, viewdirs], -1)  # [N,11]
+    with torch.no_grad():
+        ret = ref_run.render_rays(
+            torch.from_numpy(rb), network_fn=coarse, network_query_fn=nqf,
+            N_samples=NS, N_importance=NI, network_fine=fine,
+            perturb=0.0, raw_noise_std=0.0, white_bkgd=False,
+            lindisp=lindisp, pytest=False)
+
+    jax.config.update("jax_enable_x64", True)
+    try:
+        to64 = lambda t: jax.tree_util.tree_map(  # noqa: E731
+            lambda x: jnp.asarray(np.asarray(x), jnp.float64), t)
+        mlp = NeRFMLP(depth=D, width=W, skips=(skip,), multires=multires,
+                      multires_views=multires_views, use_viewdirs=True,
+                      compute_dtype=jnp.float64)
+        cfn = make_field_fn(mlp, to64(torch_nerf_to_flax(coarse.state_dict())))
+        ffn = make_field_fn(mlp, to64(torch_nerf_to_flax(fine.state_dict())))
+        out = render_rays(
+            cfn, ffn, jnp.asarray(rays_o), jnp.asarray(rays_d),
+            jnp.asarray(viewdirs), jnp.asarray(near), jnp.asarray(far),
+            N_samples=NS, N_importance=NI, lindisp=lindisp, perturb=False)
+        out = jax.tree_util.tree_map(np.asarray, out)
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+    for ref_k, got in (("rgb_map", out.rgb), ("depth_map", out.depth),
+                       ("acc_map", out.acc), ("weights", out.weights),
+                       ("z_vals", out.z_vals), ("z_std", out.z_std),
+                       ("rgb0", out.rgb0), ("acc0", out.acc0),
+                       ("disp0", out.disp0)):
+        r = t2n(ret[ref_k])
+        g = np.asarray(got)
+        if ref_k.startswith("disp"):
+            # Documented divergence (core/render.py raw2outputs): we clamp
+            # disparity at the physical max 1/z_near on empty rays; compare
+            # only where the reference value is below that clamp.
+            keep = r < 0.99 / near[:, 0]
+            r, g = r[keep], g[keep]
+        # Noise floor: the converter stores f32 params (the reference's own
+        # checkpoint precision); residual ~5e-8 through the f64 pipeline.
+        np.testing.assert_allclose(g, r, rtol=1e-6, atol=1e-6,
+                                   err_msg=f"{ref_k} lindisp={lindisp}")
+
+
 def test_load_colmap_depth_golden(ref_llff, tmp_path, rng):
     """Sparse COLMAP depth supervision end-to-end vs the reference
     (load_llff.py:467-518): same sparse model + poses_bounds must produce
