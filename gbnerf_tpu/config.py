@@ -127,6 +127,13 @@ class GuidanceConfig:
     # analog of the reference's LoRA scene prior; loaded over the sd_tiny
     # stack for the guidance ablation.
     sd_prior_ckpt: Optional[str] = None
+    # Tensor-parallel guidance: size of the mesh's `model` axis. When >1
+    # (and devices % tp == 0) stage-2 builds a (data, model) mesh, shards
+    # the UNet/VAE kernels out-channel over `model` (parallel/tp.py) and
+    # rides GSPMD for the activation collectives — the multi-chip answer
+    # to the B=1 guidance wall-clock floor that data parallelism cannot
+    # shard. 0/1 = off (pure data parallelism).
+    tp: int = 0
     # Guidance render/latent resolution override (default: 512 full SD,
     # 64 tiny). The tiny prior trains at 128 → 16² latents so the SDS
     # gradient has usable spatial resolution on small scenes.
@@ -293,6 +300,7 @@ _FLAG_MAP = {
     "sd_tiny": ("guidance", "sd_tiny"),
     "sd_allow_random": ("guidance", "sd_allow_random"),
     "cache_masked_latents": ("guidance", "cache_masked_latents"),
+    "guidance_tp": ("guidance", "tp"),
     "sd_prior_ckpt": ("guidance", "sd_prior_ckpt"),
     "sd_latent_size": ("guidance", "sd_latent_size"),
     "perpneg": ("guidance", "perpneg"),

@@ -319,13 +319,29 @@ def train(cfg: Config, *, guidance_fn=None,
                                alpha=alpha, hwf=scene.hwf)
     # Multi-chip: shard the per-iteration ray work over a 1D data mesh
     # (params replicated; XLA all-reduces grads over ICI). The same jitted
-    # step runs 1-chip (mesh=None) or N-chip.
+    # step runs 1-chip (mesh=None) or N-chip. With guidance.tp > 1 the mesh
+    # gains a `model` axis and the SD towers shard over it (parallel/tp.py)
+    # — rays stay on `data`, GSPMD places the guidance collectives.
     mesh = None
     if jax.device_count() > 1:
         from jax.sharding import Mesh
 
-        mesh = Mesh(np.asarray(jax.devices()), ("data",))
-        print(f"[mesh] data-parallel over {jax.device_count()} devices")
+        devs = np.asarray(jax.devices())
+        tp = int(g.tp) if (gparams is not None and g.tp) else 0
+        if tp > 1:
+            if len(devs) % tp:
+                raise SystemExit(
+                    f"guidance_tp={tp} does not divide device count "
+                    f"{len(devs)}")
+            mesh = Mesh(devs.reshape(-1, tp), ("data", "model"))
+            from ..parallel.tp import shard_params_tp
+
+            gparams = shard_params_tp(gparams, mesh)
+            print(f"[mesh] data×model = {mesh.shape['data']}×{tp}: "
+                  "guidance towers tensor-parallel over `model`")
+        else:
+            mesh = Mesh(devs, ("data",))
+            print(f"[mesh] data-parallel over {jax.device_count()} devices")
     # step_extras ride as explicit arguments everywhere (design invariant:
     # never closure-bake device arrays into a jitted program — the chunked
     # dispatch below jits OVER raw_step, and captured banks would become

@@ -63,3 +63,14 @@ def test_reference_config_none_reset_and_coarse_coercion(tmp_path):
     p.write_text("cp_resolutions_coarse = 17,33,65\n")
     cfg = load_reference_config(str(p))
     assert cfg.field.cp_resolutions_coarse == (17, 33, 65)
+
+
+def test_guidance_tp_flag(tmp_path):
+    """guidance_tp maps to guidance.tp (tensor-parallel guidance knob;
+    exercised end-to-end in test_parallel.py::
+    test_stage2_tp_guidance_over_2d_mesh)."""
+    from gbnerf_tpu.config import load_reference_config
+
+    p = tmp_path / "c.txt"
+    p.write_text("guidance_tp = 2\n")
+    assert load_reference_config(str(p)).guidance.tp == 2

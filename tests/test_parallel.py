@@ -287,6 +287,102 @@ def test_tp_sharded_guidance_step_matches_unsharded():
                                rtol=1e-3, atol=2e-5)
 
 
+def test_stage2_tp_guidance_over_2d_mesh():
+    """Production guidance-TP wiring (config guidance.tp → train loop):
+    the stage-2 step on a (data, model) mesh with REAL tiny-SD guidance
+    and the SD towers out-channel-sharded over `model` (parallel/tp.py,
+    exactly what train() builds when guidance_tp > 1) reproduces the
+    single-device step, and the guidance params are actually
+    distributed."""
+    from gbnerf_tpu.config import GuidanceConfig
+    from gbnerf_tpu.guidance import build_sd_modules, make_guidance_fn
+    from gbnerf_tpu.guidance.stable import guidance_params
+    from gbnerf_tpu.guidance.text import CLIPTextConfig
+    from gbnerf_tpu.guidance.unet import UNetConfig
+    from gbnerf_tpu.guidance.vae import VAEConfig
+    from gbnerf_tpu.parallel.tp import (shard_params_tp,
+                                        sharded_bytes_per_device)
+    from gbnerf_tpu.train.step import make_train_step_stage2
+
+    H, W, focal = 12, 16, 14.0
+    n_img, K, n_rand = 2, 16, 32
+    gcfg = GuidanceConfig(is_rgb_guidance=True, is_normal_guidance=False,
+                          sd_tiny=True, cache_masked_latents=False, tp=2)
+    cfg = Config(
+        field=FieldConfig(no_tcnn=True, netdepth=2, netwidth=32,
+                          netdepth_fine=2, netwidth_fine=32, multires=4,
+                          multires_views=2),
+        render=RenderConfig(N_samples=8, N_importance=4, perturb=0.0,
+                            raw_noise_std=0.0),
+        train=TrainConfig(N_rand=n_rand),
+        guidance=gcfg,
+    )
+    state, coarse, fine = create_train_state(cfg, jax.random.PRNGKey(0))
+
+    mods = build_sd_modules(gcfg, jax.random.PRNGKey(1),
+                            unet_config=UNetConfig.tiny(),
+                            vae_config=VAEConfig.tiny(),
+                            text_config=CLIPTextConfig.tiny(),
+                            latent_size=64, dtype=jnp.float32)
+    guidance_fn = make_guidance_fn(mods, gcfg, n_iters=100)
+    gparams = guidance_params(mods)
+
+    k = jax.random.PRNGKey(6)
+    xy = jnp.stack(
+        [jax.random.randint(k, (n_img, K), 0, W),
+         jax.random.randint(jax.random.fold_in(k, 1), (n_img, K), 0, H)],
+        axis=-1)
+    scene_dev = {
+        "images": jax.random.uniform(k, (n_img, H, W, 3)),
+        "masks": (jax.random.uniform(jax.random.fold_in(k, 2),
+                                     (n_img, H, W)) < 0.3).astype(jnp.float32),
+        "mask_coords": xy,
+        "mask_valid": jnp.ones((n_img, K), bool),
+        "poses": jnp.tile(jnp.eye(4)[None, :3, :4], (n_img, 1, 1)),
+    }
+
+    def stream(kk, c):
+        o = jax.random.normal(kk, (n_rand, 3)) * 0.1
+        d = jax.random.normal(jax.random.fold_in(kk, 3), (n_rand, 3))
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        return {"o": o, "d": d,
+                "target": jax.random.uniform(jax.random.fold_in(kk, 4),
+                                             (n_rand, c))}
+
+    banks_dev = {"rgb_clf": stream(jax.random.fold_in(k, 5), 3),
+                 "inp": stream(jax.random.fold_in(k, 6), 1),
+                 "depth": stream(jax.random.fold_in(k, 7), 2)}
+
+    args = (1.2, 5.3)
+    step_1 = make_train_step_stage2(cfg, coarse, fine, *args,
+                                    hwf=(H, W, focal),
+                                    guidance_fn=guidance_fn)
+    s0, m0 = step_1(state, scene_dev, banks_dev, jax.random.PRNGKey(8),
+                    gparams)
+    # CSD's dot-product surrogate loss may be negative; nonzero = ran.
+    assert float(m0["sds_loss"]) != 0.0
+
+    # the mesh train() builds for guidance_tp=2 on 8 devices: (4, 2)
+    mesh = Mesh(np.asarray(jax.devices()).reshape(-1, 2), ("data", "model"))
+    gp_tp = shard_params_tp(gparams, mesh)
+    total = sum(x.size * x.dtype.itemsize
+                for x in jax.tree_util.tree_leaves(gparams))
+    assert sharded_bytes_per_device(gp_tp, mesh) < 0.9 * total
+
+    step_n = make_train_step_stage2(cfg, coarse, fine, *args,
+                                    hwf=(H, W, focal),
+                                    guidance_fn=guidance_fn, mesh=mesh)
+    s1, m1 = step_n(state, scene_dev, banks_dev, jax.random.PRNGKey(8),
+                    gp_tp)
+    np.testing.assert_allclose(float(m1["loss"]), float(m0["loss"]),
+                               rtol=1e-4)
+    np.testing.assert_allclose(float(m1["sds_loss"]),
+                               float(m0["sds_loss"]), rtol=1e-3)
+    for a, b in zip(jax.tree_util.tree_leaves(s0.params),
+                    jax.tree_util.tree_leaves(s1.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
 def test_sharded_step_hlo_has_gradient_allreduce(setup):
     """Sharding facts, not just finiteness (VERDICT r1 #8): the compiled
     SPMD step must contain a cross-replica all-reduce (the gradient sync
