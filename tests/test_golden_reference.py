@@ -983,6 +983,101 @@ def test_render_rays_golden(ref_run, ref_helpers, rng, lindisp):
                                    err_msg=f"{ref_k} lindisp={lindisp}")
 
 
+def test_render_ndc_wrapper_golden(ref_run, ref_helpers, rng):
+    """The reference's render() wrapper with ndc=True (run.py:1672-1748:
+    viewdirs from WORLD dirs, then ndc_rays reparam with near-plane 1,
+    then near/far=0/1 packing) vs our make_render_fn on the no_ndc=False
+    path — the NDC *training* wiring. Coarse-only (N_importance=0: no
+    chaotic resampling), f64 fields, rays f32-exact so the reference's
+    internal .float() casts are lossless."""
+    import sys as _sys
+    from pathlib import Path
+    _sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    from convert_ref_ckpt import torch_nerf_to_flax
+
+    import jax
+    from gbnerf_tpu.config import Config, FieldConfig, RenderConfig
+    from gbnerf_tpu.core.fields import NeRFMLP
+    from gbnerf_tpu.core.rays import get_rays
+    from gbnerf_tpu.train.step import make_render_fn
+
+    multires, multires_views = 4, 2
+    D, W_net, skip = 2, 32, 0
+    torch.manual_seed(5)
+    coarse = ref_helpers.NeRF(
+        D=D, W=W_net, input_ch=3 * (1 + 2 * multires),
+        input_ch_views=3 * (1 + 2 * multires_views), skips=[skip],
+        use_viewdirs=True).double()
+    embed_fn, _ = ref_helpers.get_embedder(multires, 0)
+    embeddirs_fn, _ = ref_helpers.get_embedder(multires_views, 0)
+
+    def nqf(inputs, viewdirs, fn):
+        return ref_run.run_network(inputs, viewdirs, fn, embed_fn,
+                                   embeddirs_fn, netchunk=1 << 16)
+
+    # forward-facing LLFF-style pose (−z forward), slight rotation
+    H, W, focal = 8, 10, 9.0
+    th = 0.08
+    c2w = np.array([[np.cos(th), 0, np.sin(th), 0.05],
+                    [0, 1, 0, -0.02],
+                    [-np.sin(th), 0, np.cos(th), 0.1]])
+
+    jax.config.update("jax_enable_x64", True)
+    try:
+        ro, rd = get_rays(H, W, focal, jnp.asarray(c2w))
+        # f32-exact values → the reference's .float() casts are lossless
+        ro = np.asarray(ro).astype(np.float32).astype(np.float64).reshape(-1, 3)
+        rd = np.asarray(rd).astype(np.float32).astype(np.float64).reshape(-1, 3)
+
+        # render() hard-casts rays/viewdirs with .float() (run.py:1721-1736);
+        # inputs are f32-exact, so no-op the cast to keep the pipeline f64.
+        orig_float = torch.Tensor.float
+        torch.Tensor.float = lambda self: self
+        try:
+            with torch.no_grad():
+                rgb_r, disp_r, acc_r, depth_r, extras = ref_run.render(
+                    H, W, focal, chunk=1 << 16,
+                    rays=(torch.from_numpy(ro), torch.from_numpy(rd)),
+                    ndc=True, near=0.0, far=1.0, use_viewdirs=True,
+                    network_fn=coarse, network_query_fn=nqf, N_samples=17,
+                    N_importance=0, network_fine=None, perturb=0.0,
+                    raw_noise_std=0.0, lindisp=False, white_bkgd=False)
+        finally:
+            torch.Tensor.float = orig_float
+
+        cfg = Config(
+            field=FieldConfig(no_tcnn=True, netdepth=D, netwidth=W_net,
+                              multires=multires,
+                              multires_views=multires_views),
+            render=RenderConfig(no_ndc=False, N_samples=17, N_importance=0,
+                                perturb=0.0, raw_noise_std=0.0,
+                                lindisp=False, white_bkgd=False),
+        )
+        mlp = NeRFMLP(depth=D, width=W_net, skips=(skip,), multires=multires,
+                      multires_views=multires_views, use_viewdirs=True,
+                      compute_dtype=jnp.float64)
+        params = {"coarse": jax.tree_util.tree_map(
+            lambda x: jnp.asarray(np.asarray(x), jnp.float64),
+            torch_nerf_to_flax(coarse.state_dict()))}
+        render = make_render_fn(cfg, mlp, None, 2.0, 6.0, hwf=(H, W, focal))
+        out = render(params, jnp.asarray(ro), jnp.asarray(rd), None,
+                     train=False)
+        out = jax.tree_util.tree_map(
+            lambda x: np.asarray(x) if x is not None else None, out)
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+    np.testing.assert_allclose(out.rgb, t2n(rgb_r), atol=1e-5)
+    np.testing.assert_allclose(out.depth, t2n(depth_r), atol=1e-5)
+    np.testing.assert_allclose(out.acc, t2n(acc_r), atol=1e-5)
+    np.testing.assert_allclose(out.weights, t2n(extras["weights"]),
+                               atol=1e-5)
+    np.testing.assert_allclose(out.z_vals, t2n(extras["z_vals"]), atol=1e-6)
+    r_disp, g_disp = t2n(disp_r), out.disp
+    keep = r_disp < 1e9   # both sides hit their caps on empty rays
+    np.testing.assert_allclose(g_disp[keep], r_disp[keep], rtol=1e-5)
+
+
 def test_load_colmap_depth_golden(ref_llff, tmp_path, rng):
     """Sparse COLMAP depth supervision end-to-end vs the reference
     (load_llff.py:467-518): same sparse model + poses_bounds must produce
