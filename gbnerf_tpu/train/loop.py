@@ -342,6 +342,9 @@ def train(cfg: Config, *, guidance_fn=None,
         else:
             mesh = Mesh(devs, ("data",))
             print(f"[mesh] data-parallel over {jax.device_count()} devices")
+    elif g.tp and int(g.tp) > 1:
+        print(f"[mesh] WARNING: guidance_tp={g.tp} requested but only one "
+              "device is visible — running unsharded")
     # step_extras ride as explicit arguments everywhere (design invariant:
     # never closure-bake device arrays into a jitted program — the chunked
     # dispatch below jits OVER raw_step, and captured banks would become
