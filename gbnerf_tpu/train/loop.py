@@ -232,6 +232,10 @@ def train(cfg: Config, *, guidance_fn=None,
               f"(step {int(state.step)})")
     elif not t.no_reload:
         state = ckpt.restore(state)
+        if int(state.step):
+            print(f"[ckpt] resumed at iter {int(state.step)}"
+                  + (" — nothing to do" if int(state.step) >= t.N_iters
+                     else f" (→ {t.N_iters})"))
     # De-commit restored arrays to host: orbax restores them pinned to one
     # device, which conflicts with the mesh sharding constraints inside the
     # SPMD step on multi-device hosts; uncommitted arrays let the step's
