@@ -648,11 +648,13 @@ def ref_nerd():
     return _load_ref_module("ref_load_nerd", "load_nerd.py")
 
 
-def test_nerd_loader_golden(ref_nerd, tmp_path, rng):
+@pytest.mark.parametrize("spherify", [False, True])
+def test_nerd_loader_golden(ref_nerd, tmp_path, rng, spherify):
     """NeRD layout end-to-end: masks live INSIDE the images dir
     (load_nerd.py:92 'images'+sfx+'/masks') — this test runs the reference
     loader on a synthesized scene and compares images/masks/objects/bds/
-    poses/render path against load_nerd_data."""
+    poses/render path against load_nerd_data. spherify=True additionally
+    exercises the load-time spherify_poses branch (load_nerd.py:264-265)."""
     import imageio.v2 as imageio
 
     from gbnerf_tpu.data.llff import load_nerd_data
@@ -688,9 +690,9 @@ def test_nerd_loader_golden(ref_nerd, tmp_path, rng):
 
     (r_imgs, r_poses, r_bds, r_rp, r_itest, r_masks,
      r_objs) = ref_nerd.load_nerd_data(tmp, factor=f, recenter=True,
-                                       bd_factor=0.75, spherify=False)
+                                       bd_factor=0.75, spherify=spherify)
     scene = load_nerd_data(tmp, factor=f, recenter=True, bd_factor=0.75,
-                           spherify=False)
+                           spherify=spherify)
 
     np.testing.assert_allclose(scene.images, r_imgs, atol=1e-6)
     np.testing.assert_allclose(scene.masks, r_masks, atol=1e-6)
