@@ -37,6 +37,11 @@ torch = pytest.importorskip("torch")
 
 REF = "/root/reference/DS_NeRF"
 
+# The framework stands alone — golden parity tests only run where the
+# upstream reference checkout exists.
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
+                                reason="reference checkout not present")
+
 
 @pytest.fixture(scope="module")
 def ref_helpers():
