@@ -1,11 +1,15 @@
 import os
 
+import pytest
+
 from gbnerf_tpu.config import Config, load_reference_config, save_config
 
 REF_CFG = "/root/reference/DS_NeRF/config/aconfig_1.txt"
 
 
 def test_load_reference_config():
+    if not os.path.exists(REF_CFG):
+        pytest.skip("reference checkout not present")
     cfg = load_reference_config(REF_CFG)
     # Values pinned by the shipped reference config.
     assert cfg.field.no_tcnn is False
