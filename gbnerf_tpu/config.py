@@ -353,6 +353,10 @@ def _coerce(value: str, target_type):
     v = value.strip()
     if target_type is bool or v in ("True", "False"):
         return v == "True"
+    if target_type is str and v not in ("None", "none"):
+        # respect string-typed knobs whose values look numeric
+        # (sd_version = 1.5, expname = 42)
+        return v
     try:
         if target_type is int:
             return int(v)
@@ -407,12 +411,22 @@ def load_reference_config(path: str, base: Optional[Config] = None) -> Config:
 
 
 def save_config(cfg: Config, path: str) -> None:
-    """Dump the resolved config (reference dumps args.txt/config.txt)."""
+    """Dump the resolved config (reference dumps args.txt/config.txt,
+    run.py:938-947) as a RELOADABLE config txt: keys are the reference
+    flag names, tuples comma-joined, so ``load_reference_config`` on the
+    dump reproduces the config."""
+    rev = {}
+    for flag, tgt in _FLAG_MAP.items():
+        rev.setdefault(tgt, flag)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "w") as f:
         for section in dataclasses.fields(cfg):
             sub = getattr(cfg, section.name)
-            f.write(f"[{section.name}]\n")
+            f.write(f"# [{section.name}]\n")
             for fld in dataclasses.fields(sub):
-                f.write(f"{fld.name} = {getattr(sub, fld.name)}\n")
+                flag = rev.get((section.name, fld.name), fld.name)
+                v = getattr(sub, fld.name)
+                if isinstance(v, tuple):
+                    v = ",".join(str(x) for x in v)
+                f.write(f"{flag} = {v}\n")
             f.write("\n")

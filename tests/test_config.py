@@ -39,11 +39,21 @@ def test_load_reference_config():
 
 
 def test_config_hashable_and_roundtrip(tmp_path):
+    import dataclasses
+
+    from gbnerf_tpu.config import FieldConfig, GuidanceConfig
+
     cfg = Config()
     hash(cfg)  # frozen dataclasses must be usable as jit static args
     p = os.path.join(tmp_path, "config.txt")
     save_config(cfg, p)
-    assert os.path.exists(p)
+    # the dump is RELOADABLE: load(save(cfg)) == cfg, including tuple knobs
+    # and string knobs with numeric-looking values (sd_version = 1.5)
+    assert load_reference_config(p) == cfg
+    cfg2 = Config(guidance=GuidanceConfig(tp=2, t_range=(0.05, 0.9)),
+                  field=FieldConfig(cp_resolutions_coarse=(17, 33, 65)))
+    save_config(cfg2, p)
+    assert load_reference_config(p) == cfg2
 
 
 def test_reference_config_none_reset_and_coarse_coercion(tmp_path):
