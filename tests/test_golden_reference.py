@@ -1085,6 +1085,35 @@ def test_render_ndc_wrapper_golden(ref_run, ref_helpers, rng):
     np.testing.assert_allclose(g_disp[keep], r_disp[keep], rtol=1e-5)
 
 
+def test_scale_shift_and_gradient_loss_golden(ref_run, rng):
+    """Depth-alignment losses vs the reference: compute_scale_and_shift
+    (run.py:80-100, per-image LSQ with the det=0 guard) and gradient_loss
+    (run.py:161-194, masked gradient consistency + image-based reduction),
+    including an all-masked-out image exercising both degenerate paths."""
+    from gbnerf_tpu.train.losses import (compute_scale_and_shift,
+                                         gradient_loss)
+
+    B, H, W = 3, 6, 7
+    pred = rng.standard_normal((B, H, W)).astype(np.float32)
+    tgt = rng.standard_normal((B, H, W)).astype(np.float32)
+    mask = (rng.random((B, H, W)) > 0.3).astype(np.float32)
+    mask[2] = 0.0                      # det=0 / M=0 degenerate image
+
+    pt, tt, mt = map(torch.from_numpy, (pred, tgt, mask))
+    s_ref, t_ref = ref_run.compute_scale_and_shift(pt, tt, mt)
+    s, t = compute_scale_and_shift(jnp.asarray(pred), jnp.asarray(tgt),
+                                   jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(s), t2n(s_ref), rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(t), t2n(t_ref), rtol=1e-5,
+                               atol=1e-6)
+
+    gl_ref = float(ref_run.gradient_loss(pt, tt, mt))
+    gl = float(jnp.mean(gradient_loss(jnp.asarray(pred), jnp.asarray(tgt),
+                                      jnp.asarray(mask))))
+    np.testing.assert_allclose(gl, gl_ref, rtol=1e-5)
+
+
 def test_load_colmap_depth_golden(ref_llff, tmp_path, rng):
     """Sparse COLMAP depth supervision end-to-end vs the reference
     (load_llff.py:467-518): same sparse model + poses_bounds must produce
