@@ -120,8 +120,11 @@ class GuidanceConfig:
     # Cache the RGB modality's masked-conditioning VAE encode per view
     # (it is a per-view constant; saves one full-size VAE encode per step,
     # 59.9 → 52.0 ms measured). See guidance/stable.py::
-    # precompute_masked_latents for the documented divergence.
-    cache_masked_latents: bool = True
+    # precompute_masked_latents for the documented divergence. Default False
+    # (repo convention: perf knobs that change numerics vs the reference ship
+    # reference-parity); the production config configs/spinnerf_scene.txt
+    # turns it on.
+    cache_masked_latents: bool = False
     # Self-trained prior checkpoint (flax msgpack of {unet, vae, embeds_rgb,
     # embeds_normal} from tools/train_tiny_prior.py) — the weights-free
     # analog of the reference's LoRA scene prior; loaded over the sd_tiny
@@ -378,11 +381,20 @@ def load_reference_config(path: str, base: Optional[Config] = None) -> Config:
                 ("field", "render", "data", "guidance", "train", "mesh")}
     with open(path) as f:
         for line in f:
-            line = line.split("#", 1)[0].strip()
-            if not line or "=" not in line:
+            line = line.strip()
+            if not line or line.startswith("#") or "=" not in line:
                 continue
             key, _, value = line.partition("=")
             key = key.strip()
+            value = value.strip()
+            if value.startswith('"'):
+                # quoted value — save_config quotes strings containing '#'
+                # (e.g. prompt = "a #1 fan photo") so comment-stripping
+                # cannot truncate them on reload
+                close = value.rfind('"')
+                value = value[1:close] if close > 0 else value[1:]
+            else:
+                value = value.split("#", 1)[0].strip()
             if key not in _FLAG_MAP:
                 continue
             section, fname = _FLAG_MAP[key]
@@ -428,5 +440,7 @@ def save_config(cfg: Config, path: str) -> None:
                 v = getattr(sub, fld.name)
                 if isinstance(v, tuple):
                     v = ",".join(str(x) for x in v)
+                if isinstance(v, str) and "#" in v:
+                    v = f'"{v}"'   # keep '#' out of the comment stripper
                 f.write(f"{flag} = {v}\n")
             f.write("\n")

@@ -21,6 +21,7 @@ and runs stop-gradiented; only the VAE encoder participates in the backward.
 """
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Any, Optional
 
@@ -87,8 +88,12 @@ def build_sd_modules(
     if str(ver).startswith("2"):
         raise NotImplementedError(
             f"sd_version={ver!r}: only the SD1.x-inpaint architecture is "
-            "implemented (UNet 320/640/1280, CLIP ViT-L text width 768); "
-            "use sd_version=1.5 with an SD1.x checkpoint")
+            "implemented (UNet 320/640/1280, CLIP ViT-L text width 768). "
+            "Divergence, documented: the reference's own 2.x mapping is "
+            "dead code — sd_utils.py:65-72 maps the version strings, but "
+            "the live load hard-codes the runwayml 1.5-inpaint checkpoint "
+            "(sd_utils.py:93), so no 2.x path ever ran there either. Use "
+            "sd_version=1.5 with an SD1.x-inpaint checkpoint.")
 
     ucfg = unet_config or UNetConfig.sd15_inpaint()
     vcfg = vae_config or VAEConfig()
@@ -107,8 +112,18 @@ def build_sd_modules(
     vae_params = jax.jit(vae.init)(k2, jnp.zeros((1, 64, 64, 3)))["params"]
 
     text_model = CLIPTextEncoder(tcfg, dtype=jnp.float32)
-    tok = Tokenizer(weights_dir and f"{weights_dir}/tokenizer",
-                    max_length=tcfg.max_length, vocab_size=tcfg.vocab_size)
+    tok_dir = weights_dir and os.path.join(weights_dir, "tokenizer")
+    if tok_dir and not os.path.isdir(tok_dir):
+        # Missing vocab assets → hash-id fallback, announced LOUDLY (fine
+        # for random/fake-weight runs; real checkpoints ship tokenizer/ and
+        # a real-weights run must never silently distill garbage prompts —
+        # Tokenizer raises if a PRESENT vocab dir fails to load).
+        print(f"[text] WARNING: {weights_dir} has no tokenizer/ dir — "
+              "prompts use the deterministic hash fallback, NOT real CLIP "
+              "BPE. Do not use this for a real-weights run.")
+        tok_dir = None
+    tok = Tokenizer(tok_dir, max_length=tcfg.max_length,
+                    vocab_size=tcfg.vocab_size)
     text_params = jax.jit(text_model.init)(
         k3, jnp.zeros((1, tcfg.max_length), jnp.int32))["params"]
 

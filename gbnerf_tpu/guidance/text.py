@@ -100,12 +100,21 @@ class Tokenizer:
         self.eos = self.EOS if vocab_size > self.EOS else vocab_size - 1
         self._hf = None
         if vocab_dir:
-            try:
-                from transformers import CLIPTokenizer
+            # An EXPLICIT vocab_dir that fails to load must raise, not fall
+            # back: the hash fallback would silently turn every prompt into
+            # garbage conditioning in a real-weights run (a distillation run
+            # would quietly train against meaningless text embeddings).
+            from transformers import CLIPTokenizer
 
+            try:
                 self._hf = CLIPTokenizer.from_pretrained(vocab_dir)
-            except Exception:
-                self._hf = None
+            except Exception as e:
+                raise RuntimeError(
+                    f"tokenizer vocab_dir={vocab_dir!r} was given but "
+                    f"CLIPTokenizer failed to load from it: {e!r}. Refusing "
+                    "the hash fallback — it would silently replace real "
+                    "prompts with meaningless ids. Fix the vocab dir or "
+                    "pass vocab_dir=None to opt into the fallback.") from e
 
     def __call__(self, texts: Sequence[str]) -> np.ndarray:
         if self._hf is not None:

@@ -27,15 +27,16 @@ def render_pose_path(render_fn, params, poses, hwf, *, render_factor: int = 0,
         H, W, focal = H // render_factor, W // render_factor, focal / render_factor
 
     image_render = make_image_renderer(render_fn, block=block)
-    rgbs, disps, depths = [], [], []
+    rgbs, disps, depths, accs = [], [], [], []
     for pose in poses:
         ro, rd = _full_view_rays(H, W, focal, jnp.asarray(pose[:3, :4]))
         out = image_render(params, ro, rd)
         rgbs.append(np.asarray(out["rgb"]))
         disps.append(np.asarray(out["disp"]))
         depths.append(np.asarray(out["depth"]))
+        accs.append(np.asarray(out["acc"]))
     return {"rgb": np.stack(rgbs), "disp": np.stack(disps),
-            "depth": np.stack(depths)}
+            "depth": np.stack(depths), "acc": np.stack(accs)}
 
 
 def convert_pose(c2w: np.ndarray) -> np.ndarray:

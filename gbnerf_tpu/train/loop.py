@@ -165,10 +165,16 @@ def render_only(cfg: Config) -> dict:
 
 
 def banks_to_device(banks):
+    # Divergence, documented: the reference builds DataLoader iterators over
+    # its `rays_rgb` (masked) and `rays_rgb_sds` (all) banks and DRAWS from
+    # them every iteration without ever using the draw (run.py:1261-1265,
+    # 1340-1345 — the batches feed nothing in the shipped stage-2 loss).
+    # We keep those banks host-side (rays_bank.py builds them; the masked
+    # stream is covered by the per-view mask_coords table) and upload only
+    # the streams the steps actually sample — at SPIn-NeRF scale the two
+    # dead banks are ~2×100 MB of HBM.
     out = {
-        "rgb": banks.rgb.device_put(),
         "rgb_clf": banks.rgb_clf.device_put(),
-        "rgb_sds": banks.rgb_sds.device_put(),
         "inp": banks.inp.device_put(),
         "depth": banks.depth.device_put() if banks.depth is not None else None,
     }
@@ -426,137 +432,145 @@ def train(cfg: Config, *, guidance_fn=None,
         except ValueError:          # not the main thread: skip
             pass
 
-    t0 = time.time()
-    history = []
-    last_eval = None
-    nan_restores = 0
-    preempted = False
-    it = start
-    while it < t.N_iters:
-        if _stop["sig"] is not None:
-            preempted = True
-            print(f"[preempt] signal {_stop['sig']} at iter {it}: saving "
-                  "checkpoint and exiting (auto-resume will continue)")
-            break
-        rng, key = jax.random.split(rng)
-        if k_disp == 1:
-            it += 1
-            state, metrics = do_step(state, key)
-        else:
-            k = min([k_disp, t.N_iters - it]
-                    + [c - (it % c) for c in cadences])
-            it += k
-            state, ema_params, metrics = do_chunk(
-                state, ema_params, key, k, *step_extras)
-        i = it - 1          # cadence checks below use (i + 1) == it
+    try:
+        t0 = time.time()
+        history = []
+        last_eval = None
+        nan_restores = 0
+        preempted = False
+        it = start
+        while it < t.N_iters:
+            if _stop["sig"] is not None:
+                preempted = True
+                print(f"[preempt] signal {_stop['sig']} at iter {it}: saving "
+                      "checkpoint and exiting (auto-resume will continue)")
+                break
+            rng, key = jax.random.split(rng)
+            if k_disp == 1:
+                it += 1
+                state, metrics = do_step(state, key)
+            else:
+                k = min([k_disp, t.N_iters - it]
+                        + [c - (it % c) for c in cadences])
+                it += k
+                state, ema_params, metrics = do_chunk(
+                    state, ema_params, key, k, *step_extras)
+            i = it - 1          # cadence checks below use (i + 1) == it
 
-        # Failure recovery (beyond reference, SURVEY.md §5): a non-finite
-        # loss would poison params for every later step — restore the
-        # latest checkpoint and re-fork the rng stream instead. Checked on
-        # the i_print cadence only (a float() fetch per step would stall
-        # the async dispatch pipeline through the tunnel).
-        if (t.nan_restarts and (i + 1) % t.i_print == 0
-                and not np.isfinite(float(metrics["loss"]))):
-            nan_restores += 1
-            if nan_restores > t.nan_restarts:
-                raise SystemExit(
-                    f"loss non-finite after {t.nan_restarts} checkpoint "
-                    f"restores — aborting at iter {i + 1}")
-            prev = ckpt.latest_step()
-            print(f"[recover] non-finite loss at iter {i + 1}; restoring "
-                  f"ckpt {prev if prev is not None else '(init)'} "
-                  f"({nan_restores}/{t.nan_restarts})")
-            if prev is not None:
-                # de-commit to host (see restore note above)
-                state = jax.tree_util.tree_map(np.asarray,
-                                               ckpt.restore(state))
-            else:
-                state, _, _ = create_train_state(cfg, jax.random.PRNGKey(
-                    t.seed + nan_restores))
-            # EMA may have blended non-finite params for up to i_print-1
-            # steps before detection — reset it to the restored params.
-            if ema_params is not None:
-                ema_params = state.params
-            rng = jax.random.fold_in(rng, 1000 + nan_restores)
-            continue
-        if ema_update is not None and k_disp == 1:
-            # (k_disp > 1 applies the EMA inside the scanned chunk)
-            ema_params = ema_update(ema_params, state.params)
+            # Failure recovery (beyond reference, SURVEY.md §5): a non-finite
+            # loss would poison params for every later step — restore the
+            # latest checkpoint and re-fork the rng stream instead. Checked on
+            # the i_print cadence only (a float() fetch per step would stall
+            # the async dispatch pipeline through the tunnel).
+            if (t.nan_restarts and (i + 1) % t.i_print == 0
+                    and not np.isfinite(float(metrics["loss"]))):
+                nan_restores += 1
+                if nan_restores > t.nan_restarts:
+                    raise SystemExit(
+                        f"loss non-finite after {t.nan_restarts} checkpoint "
+                        f"restores — aborting at iter {i + 1}")
+                prev = ckpt.latest_step()
+                print(f"[recover] non-finite loss at iter {i + 1}; restoring "
+                      f"ckpt {prev if prev is not None else '(init)'} "
+                      f"({nan_restores}/{t.nan_restarts})")
+                if prev is not None:
+                    # de-commit to host (see restore note above)
+                    state = jax.tree_util.tree_map(np.asarray,
+                                                   ckpt.restore(state))
+                else:
+                    state, _, _ = create_train_state(cfg, jax.random.PRNGKey(
+                        t.seed + nan_restores))
+                # EMA may have blended non-finite params for up to i_print-1
+                # steps before detection — reset it to the restored params.
+                if ema_params is not None:
+                    ema_params = state.params
+                rng = jax.random.fold_in(rng, 1000 + nan_restores)
+                continue
+            if ema_update is not None and k_disp == 1:
+                # (k_disp > 1 applies the EMA inside the scanned chunk)
+                ema_params = ema_update(ema_params, state.params)
 
-        if (i + 1) % t.i_print == 0:
-            m = {k: float(v) for k, v in metrics.items()}
-            m["iters_per_sec"] = t.i_print / max(time.time() - t0, 1e-9)
-            t0 = time.time()
-            history.append((i + 1, m))
-            # Observability beyond the reference's print-only loop
-            # (SURVEY.md §5): machine-readable metrics stream per run.
-            # Non-finite floats become null — bare NaN/Infinity tokens are
-            # invalid strict JSON, exactly in the runs this stream is
-            # meant to diagnose.
-            safe = {k: (v if np.isfinite(v) else None) for k, v in m.items()}
-            with open(os.path.join(expdir, "metrics.jsonl"), "a") as fh:
-                fh.write(json.dumps({"iter": i + 1, **safe}) + "\n")
-            if log_fn:
-                log_fn(i + 1, m)
-            else:
-                print(f"[{i + 1}/{t.N_iters}] " +
-                      " ".join(f"{k}={v:.4g}" for k, v in m.items()))
-        if (i + 1) % t.i_weights == 0:
-            # Never checkpoint a NaN-poisoned state: i_weights need not be
-            # a multiple of i_print, so the recovery check above may not
-            # have seen this state yet. A poisoned checkpoint would be
-            # restored in a loop by the recovery path until abort.
-            if np.isfinite(float(metrics["loss"])):
-                ckpt.save(i + 1, jax.device_get(state))
-            else:
-                print(f"[ckpt] skip save at iter {i + 1}: non-finite loss")
-        if (i + 1) % t.i_testset == 0 and len(scene.poses_test):
-            # Reference testset dump (run.py:987-1007): plain rgb/disp
-            # renders of the held-out poses, no metrics (metrics happen on
-            # the i_evaluate cadence).
-            maps = render_pose_path(render_fn, eval_params(state.params),
-                                    scene.poses_test, scene.hwf,
-                                    render_factor=max(t.render_factor, 1),
-                                    block=rblock)
-            dump_eval_images(maps, os.path.join(expdir, f"testset_{i + 1}"))
-        if (i + 1) % t.i_video == 0 and len(scene.render_poses):
-            maps = render_pose_path(render_fn, eval_params(state.params),
-                                    scene.render_poses, scene.hwf,
-                                    render_factor=max(t.render_factor, 1),
-                                    block=rblock)
-            save_video(maps["rgb"], os.path.join(
-                expdir, f"spiral_{i + 1:06d}_rgb.mp4"))
-            d = maps["disp"] / max(maps["disp"].max(), 1e-8)
-            save_video(d, os.path.join(expdir, f"spiral_{i + 1:06d}_disp.mp4"))
-        if (i + 1) % t.i_evaluate == 0 and len(scene.poses_test):
-            maps = render_pose_path(render_fn, eval_params(state.params),
-                                    scene.poses_test,
-                                    scene.hwf,
-                                    render_factor=max(t.render_factor, 1),
-                                    block=rblock)
-            gt = scene.images_test if t.render_factor <= 1 else None
-            gt_masks = (getattr(scene, "masks_test", None)
-                        if t.render_factor <= 1 else None)
-            # eval LPIPS only with REAL VGG weights — random-feature
-            # distances would masquerade as a paper metric.
-            em = dump_eval_images(
-                maps, os.path.join(expdir, f"eval_images_{i + 1}"), gt=gt,
-                lpips_fn=lpips_fn if t.lpips_weights else None,
-                gt_masks=gt_masks)
-            if em["psnr"] is not None:
-                extra = "".join(
-                    f" {k}={em[k]:.4g}" for k in
-                    ("lpips", "psnr_masked", "psnr_unmasked")
-                    if em[k] is not None)
-                print(f"[{i + 1}/{t.N_iters}] eval_psnr={em['psnr']:.2f}"
-                      f"{extra} (held-out, {len(scene.poses_test)} views)")
-                last_eval = {f"eval_{k}": v for k, v in em.items()
-                             if v is not None}
+            if (i + 1) % t.i_print == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                m["iters_per_sec"] = t.i_print / max(time.time() - t0, 1e-9)
+                t0 = time.time()
+                history.append((i + 1, m))
+                # Observability beyond the reference's print-only loop
+                # (SURVEY.md §5): machine-readable metrics stream per run.
+                # Non-finite floats become null — bare NaN/Infinity tokens are
+                # invalid strict JSON, exactly in the runs this stream is
+                # meant to diagnose.
+                safe = {k: (v if np.isfinite(v) else None) for k, v in m.items()}
                 with open(os.path.join(expdir, "metrics.jsonl"), "a") as fh:
-                    fh.write(json.dumps({"iter": i + 1, **last_eval}) + "\n")
+                    fh.write(json.dumps({"iter": i + 1, **safe}) + "\n")
+                if log_fn:
+                    log_fn(i + 1, m)
+                else:
+                    print(f"[{i + 1}/{t.N_iters}] " +
+                          " ".join(f"{k}={v:.4g}" for k, v in m.items()))
+            if (i + 1) % t.i_weights == 0:
+                # Never checkpoint a NaN-poisoned state: i_weights need not be
+                # a multiple of i_print, so the recovery check above may not
+                # have seen this state yet. A poisoned checkpoint would be
+                # restored in a loop by the recovery path until abort.
+                if np.isfinite(float(metrics["loss"])):
+                    ckpt.save(i + 1, jax.device_get(state))
+                else:
+                    print(f"[ckpt] skip save at iter {i + 1}: non-finite loss")
+            if (i + 1) % t.i_testset == 0 and len(scene.poses_test):
+                # Reference testset dump (run.py:987-1007): plain rgb/disp
+                # renders of the held-out poses, no metrics (metrics happen on
+                # the i_evaluate cadence).
+                maps = render_pose_path(render_fn, eval_params(state.params),
+                                        scene.poses_test, scene.hwf,
+                                        render_factor=max(t.render_factor, 1),
+                                        block=rblock)
+                dump_eval_images(maps, os.path.join(expdir, f"testset_{i + 1}"))
+            if (i + 1) % t.i_video == 0 and len(scene.render_poses):
+                maps = render_pose_path(render_fn, eval_params(state.params),
+                                        scene.render_poses, scene.hwf,
+                                        render_factor=max(t.render_factor, 1),
+                                        block=rblock)
+                save_video(maps["rgb"], os.path.join(
+                    expdir, f"spiral_{i + 1:06d}_rgb.mp4"))
+                d = maps["disp"] / max(maps["disp"].max(), 1e-8)
+                save_video(d, os.path.join(expdir, f"spiral_{i + 1:06d}_disp.mp4"))
+            if (i + 1) % t.i_evaluate == 0 and len(scene.poses_test):
+                maps = render_pose_path(render_fn, eval_params(state.params),
+                                        scene.poses_test,
+                                        scene.hwf,
+                                        render_factor=max(t.render_factor, 1),
+                                        block=rblock)
+                gt = scene.images_test if t.render_factor <= 1 else None
+                gt_masks = (getattr(scene, "masks_test", None)
+                            if t.render_factor <= 1 else None)
+                # eval LPIPS only with REAL VGG weights — random-feature
+                # distances would masquerade as a paper metric.
+                em = dump_eval_images(
+                    maps, os.path.join(expdir, f"eval_images_{i + 1}"), gt=gt,
+                    lpips_fn=lpips_fn if t.lpips_weights else None,
+                    gt_masks=gt_masks)
+                if em["psnr"] is not None:
+                    extra = "".join(
+                        f" {k}={em[k]:.4g}" for k in
+                        ("lpips", "psnr_masked", "psnr_unmasked")
+                        if em[k] is not None)
+                    print(f"[{i + 1}/{t.N_iters}] eval_psnr={em['psnr']:.2f}"
+                          f"{extra} (held-out, {len(scene.poses_test)} views)")
+                    last_eval = {f"eval_{k}": v for k, v in em.items()
+                                 if v is not None}
+                    with open(os.path.join(expdir, "metrics.jsonl"), "a") as fh:
+                        fh.write(json.dumps({"iter": i + 1, **last_eval}) + "\n")
 
-    for _s, _h in _old.items():     # restore caller's signal handlers
-        _signal.signal(_s, _h)
+    finally:
+        # Restore the caller's handlers even when the loop dies
+        # (NaN-restore abort, eval exception): leaving the
+        # flag-setter installed would silently swallow Ctrl-C for
+        # the rest of the process. A None handler means non-Python
+        # code installed it - signal.signal() rejects None.
+        for _s, _h in _old.items():
+            if _h is not None:
+                _signal.signal(_s, _h)
     ckpt.save(int(state.step), jax.device_get(state))
     ckpt.close()
     return {"state": state, "render_fn": render_fn, "scene": scene,

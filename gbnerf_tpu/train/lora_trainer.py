@@ -88,6 +88,15 @@ class DreamBoothInpaintDataset:
         import cv2
 
         img = np.asarray(self._imread(self.files[idx]))[..., :3]
+        # 16-bit PNGs (imageio returns uint16) would WRAP modulo 256 under a
+        # bare astype(uint8); rescale any >8-bit integer input first.
+        if img.dtype == np.uint16:
+            img = (img // 257).astype(np.uint8)
+        elif img.dtype != np.uint8:
+            img = np.clip(np.round(
+                img.astype(np.float32)
+                * (255.0 if img.max() <= 1.0 else 1.0)), 0, 255
+            ).astype(np.uint8)
         img = cv2.resize(img, (self.resolution, self.resolution),
                          interpolation=cv2.INTER_AREA)
         # uint8 on host: the batch ships through a ~30 MB/s tunnel, so the

@@ -436,6 +436,16 @@ def make_train_step_stage2(cfg: Config, coarse_model, fine_model,
                     batch.colla_masks, (batch.colla_masks.shape[0], H_r, W_r),
                     method="nearest")
 
+            # Divergence, documented — two reference knobs deliberately NOT
+            # implemented at this dispatch site:
+            #  * is_crop (run.py:1402-1410, 1489-1495): crop combin_rgb/mask
+            #    to the mask bbox before guidance. Ships False and the
+            #    reference comments it "we do not use it"; a data-dependent
+            #    bbox would also force dynamic shapes under jit.
+            #  * use_ref / "cream" loss (run.py:1378-1383, 1508-1510): a
+            #    hard-coded per-scene hack (fires only when the random view
+            #    is img_i == 68-40) adding an MSE against one reference
+            #    image; not a general capability, skipped.
             if guidance_fn is not None:
                 kw = {}
                 if rgbs4 is not None:
