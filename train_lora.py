@@ -30,7 +30,23 @@ def main():
     ap.add_argument("--sd_weights_dir", default=None)
     ap.add_argument("--tiny", action="store_true",
                     help="tiny random SD stack (smoke testing)")
+    # reference train_dreambooth_inpaint_lora_normal_caption.py parity knobs
+    ap.add_argument("--resume_from_checkpoint", default=None,
+                    help="'latest' or a checkpoint-N dir (ref :893-917)")
+    ap.add_argument("--with_prior_preservation", action="store_true")
+    ap.add_argument("--class_data_dir", default=None)
+    ap.add_argument("--class_prompt", default=None)
+    ap.add_argument("--num_class_images", type=int, default=100)
+    ap.add_argument("--prior_loss_weight", type=float, default=1.0)
+    ap.add_argument("--sample_steps", type=int, default=50,
+                    help="denoise steps for class-image generation")
+    ap.add_argument("--train_text_encoder", action="store_true",
+                    help="rank-4 text-encoder adapters (ref :656-663)")
     args = ap.parse_args()
+    if args.with_prior_preservation and not (args.class_data_dir
+                                             and args.class_prompt):
+        ap.error("--with_prior_preservation needs --class_data_dir "
+                 "and --class_prompt")
 
     from run import enable_compilation_cache
 
@@ -68,19 +84,46 @@ def main():
     )["params"]
     text_apply = jax.jit(text_model.apply)
 
-    def encode_prompt(captions):
-        return text_apply({"params": tparams}, jnp.asarray(tok(captions)))
+    def tokenize(captions):
+        return jnp.asarray(tok(captions))
 
+    def encode_prompt(captions):
+        return text_apply({"params": tparams}, tokenize(captions))
+
+    resolution = args.resolution if not args.tiny else 64
     dataset = DreamBoothInpaintDataset(
         args.instance_data_dir, caption_dir=args.caption_dir,
-        mask_dir=args.instance_mask_dir,
-        resolution=args.resolution if not args.tiny else 64)
+        mask_dir=args.instance_mask_dir, resolution=resolution)
+
+    class_dataset = None
+    if args.with_prior_preservation:
+        from gbnerf_tpu.train.lora_trainer import generate_class_images
+
+        # class images from the repo's own jitted inpaint pipeline
+        # (reference generates them with StableDiffusionInpaintPipeline,
+        # train_dreambooth...py:510-553)
+        embeds3 = encode_prompt(["", "", args.class_prompt])
+        generate_class_images(mods, embeds3, args.class_data_dir,
+                              args.num_class_images,
+                              jax.random.PRNGKey(args.seed + 99),
+                              num_inference_steps=args.sample_steps,
+                              resolution=resolution)
+        class_dataset = DreamBoothInpaintDataset(
+            args.class_data_dir, resolution=resolution,
+            default_caption=args.class_prompt)
+
     train_lora(mods, dataset, encode_prompt,
                steps=args.max_train_steps, batch_size=args.train_batch_size,
                rank=args.rank, lr=args.learning_rate, seed=args.seed,
                output_dir=args.output_dir,
                checkpointing_steps=args.checkpointing_steps,
-               masked_loss=args.instance_mask_dir is not None)
+               masked_loss=args.instance_mask_dir is not None,
+               class_dataset=class_dataset,
+               prior_loss_weight=args.prior_loss_weight,
+               text_tower=((text_model, tparams)
+                           if args.train_text_encoder else None),
+               tokenize=tokenize if args.train_text_encoder else None,
+               resume_from=args.resume_from_checkpoint)
 
 
 if __name__ == "__main__":
