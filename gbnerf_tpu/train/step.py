@@ -259,6 +259,18 @@ def make_train_step_stage1(cfg: Config, coarse_model, fine_model,
         if out.rgb0 is not None:
             loss = loss + img2mse(out.rgb0, clf["target"])
 
+        # Divergence, documented (goldened per-term in
+        # tests/test_golden_reference.py::test_stage1_loss_assembly_golden):
+        # the reference's stage-1 branch is unrunnable as shipped — its
+        # render unpacks 6 values from the 5-tuple render() returns
+        # (run.py:1366) — and as WRITTEN (:1476) it scores the CLF-render
+        # disparity against INP-stream targets (unrelated rays), gated on
+        # `depth_loss and not colmap_depth`. We implement the DS-NeRF
+        # intent: render the inpainted-depth stream and score matched rays.
+        # We also add the coarse rgb0 term (the reference's stage-2 has it,
+        # :1514; its stage-1 as written does not) and the COLMAP weighted /
+        # sigma terms below (the reference loads ray_weights, :1301, but
+        # never uses them in any live loss).
         inp = batches.get("inp")
         depth_loss = jnp.zeros(())
         if inp is not None:
@@ -305,6 +317,9 @@ def make_train_step_stage1(cfg: Config, coarse_model, fine_model,
         metrics["loss"] = loss
         return TrainState(state.step + 1, params, opt_state), metrics
 
+    # exposed for the assembled-loss goldens (tests/test_golden_reference.py
+    # drive it with hand-built batches at f64)
+    step.loss_fn = loss_fn
     return step
 
 
@@ -365,7 +380,13 @@ def make_train_step_stage2(cfg: Config, coarse_model, fine_model,
         depth_loss = img2mse(out_i.disp, batch.inp["target"][:, 0])
         loss = loss + d.depth_lambda * depth_loss
 
-        # COLMAP sparse depth (sampled by the reference loop; weighted MSE).
+        # COLMAP sparse depth. Divergence, documented: the reference's
+        # second_stage selection samples only the clf and inp streams
+        # (run.py:1337-1359) — its colmap depth bank never reaches a stage-2
+        # loss (and its stage-1, the only place ray_weights are read, is
+        # unrunnable — see stage-1 note). We keep the DS-NeRF supervision
+        # live in stage 2; disable with colmap_depth=False for strict
+        # reference behavior.
         sig_loss = jnp.zeros(())
         if batch.depth is not None and d.colmap_depth:
             out_d = render(rparams, batch.depth["o"], batch.depth["d"], k_d,
@@ -497,6 +518,8 @@ def make_train_step_stage2(cfg: Config, coarse_model, fine_model,
         metrics["loss"] = loss
         return TrainState(state.step + 1, params, opt_state), metrics
 
+    # exposed for the assembled-loss goldens (see stage-1)
+    step.loss_fn = loss_fn
     return step
 
 
