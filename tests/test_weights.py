@@ -2,6 +2,7 @@
 tree via the inverse naming/transpose rules, convert it back, and require
 every leaf to be placed and bit-equal. Validates the diffusers-name mapping
 on the full (tiny) UNet/VAE/text topologies."""
+import os
 import re
 
 import numpy as np
@@ -280,3 +281,46 @@ def test_fake_peft_lora_merges(tmp_path):
         B = lora[f"base_model.model.{stem}.lora_B.weight"]
         np.testing.assert_allclose(merged[key], base[key] + B @ A,
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_check_weights_cli(tmp_path):
+    """tools/check_weights.py — the real-weights first-contact command
+    (VERDICT r2 #4) — passes end to end against the full-key fake
+    checkpoint (+ fake VGG npz), and fails loudly on a broken dir."""
+    import subprocess
+    import sys
+
+    import numpy as np
+
+    from tools.convert_vgg import TORCH_CONV_IDX, convert
+    from tools.make_fake_sd_ckpt import save_ckpt
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    d = str(tmp_path / "fake_sd")
+    save_ckpt(d, tiny=True)
+
+    rng = np.random.default_rng(0)
+    cfg = (64, 64, 128, 128, 256, 256, 256, 512, 512, 512, 512, 512, 512)
+    vgg_sd, cin = {}, 3
+    for idx, cout in zip(TORCH_CONV_IDX, cfg):
+        vgg_sd[f"features.{idx}.weight"] = \
+            rng.normal(0, 0.05, (cout, cin, 3, 3)).astype(np.float32)
+        vgg_sd[f"features.{idx}.bias"] = np.zeros(cout, np.float32)
+        cin = cout
+    vgg_npz = str(tmp_path / "vgg.npz")
+    np.savez(vgg_npz, **convert(vgg_sd, None))  # no lin heads → uniform
+
+    cmd = [sys.executable, os.path.join(root, "tools", "check_weights.py"),
+           d, "--tiny", "--allow_hash_tokenizer", "--cpu",
+           "--vgg", vgg_npz]
+    r = subprocess.run(cmd, capture_output=True, text=True, cwd=root)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "PASS:" in r.stdout, r.stdout
+
+    # negative arm: missing vae/ subdir → loud failure, nonzero exit
+    import shutil
+
+    shutil.rmtree(os.path.join(d, "vae"))
+    r2 = subprocess.run(cmd[:5], capture_output=True, text=True, cwd=root)
+    assert r2.returncode != 0
+    assert "CHECK FAILED" in r2.stdout, r2.stdout + r2.stderr
