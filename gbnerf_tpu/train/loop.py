@@ -333,25 +333,29 @@ def train(cfg: Config, *, guidance_fn=None,
     # gains a `model` axis and the SD towers shard over it (parallel/tp.py)
     # — rays stay on `data`, GSPMD places the guidance collectives.
     mesh = None
-    if jax.device_count() > 1:
+    data_axis = cfg.mesh.data_axis
+    n_dev = jax.device_count()
+    if cfg.mesh.num_devices:            # 0 → all local devices
+        n_dev = min(n_dev, int(cfg.mesh.num_devices))
+    if n_dev > 1:
         from jax.sharding import Mesh
 
-        devs = np.asarray(jax.devices())
+        devs = np.asarray(jax.devices()[:n_dev])
         tp = int(g.tp) if (gparams is not None and g.tp) else 0
         if tp > 1:
             if len(devs) % tp:
                 raise SystemExit(
                     f"guidance_tp={tp} does not divide device count "
                     f"{len(devs)}")
-            mesh = Mesh(devs.reshape(-1, tp), ("data", "model"))
+            mesh = Mesh(devs.reshape(-1, tp), (data_axis, "model"))
             from ..parallel.tp import shard_params_tp
 
             gparams = shard_params_tp(gparams, mesh)
-            print(f"[mesh] data×model = {mesh.shape['data']}×{tp}: "
+            print(f"[mesh] {data_axis}×model = {mesh.shape[data_axis]}×{tp}: "
                   "guidance towers tensor-parallel over `model`")
         else:
-            mesh = Mesh(devs, ("data",))
-            print(f"[mesh] data-parallel over {jax.device_count()} devices")
+            mesh = Mesh(devs, (data_axis,))
+            print(f"[mesh] data-parallel over {n_dev} devices")
     elif g.tp and int(g.tp) > 1:
         print(f"[mesh] WARNING: guidance_tp={g.tp} requested but only one "
               "device is visible — running unsharded")
@@ -362,6 +366,7 @@ def train(cfg: Config, *, guidance_fn=None,
     if t.first_stage:
         step_fn = make_train_step_stage1(cfg, coarse, fine, scene.near,
                                          scene.far, alpha=alpha, mesh=mesh,
+                                         mesh_axis=data_axis,
                                          hwf=scene.hwf)
         step_extras = (banks_dev, aparams)
 
@@ -371,7 +376,7 @@ def train(cfg: Config, *, guidance_fn=None,
         step_fn = make_train_step_stage2(
             cfg, coarse, fine, scene.near, scene.far, scene.hwf,
             guidance_fn=guidance_fn, lpips_fn=lpips_fn, alpha=alpha,
-            mesh=mesh)
+            mesh=mesh, mesh_axis=data_axis)
         step_extras = (scene_dev, banks_dev, gparams, aparams)
 
         def raw_step(state, key, scene_d, banks, gp, ap):

@@ -88,3 +88,43 @@ def test_guidance_tp_flag(tmp_path):
     p = tmp_path / "c.txt"
     p.write_text("guidance_tp = 2\n")
     assert load_reference_config(str(p)).guidance.tp == 2
+
+
+def test_no_dead_config_knobs():
+    """Guard: every config dataclass field is referenced somewhere outside
+    config.py (VERDICT r2 item #5 — automates the round-2 manual dead-knob
+    audit, commit c4fe9ea, that caught the unwired sigma-loss class).
+    Intentional no-ops go in ALLOWED_DEAD with a reason."""
+    import dataclasses
+    import re
+
+    import gbnerf_tpu.config as cfgmod
+
+    ALLOWED_DEAD = {
+        # name: reason
+    }
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sources = []
+    for base, _, files in os.walk(os.path.join(root, "gbnerf_tpu")):
+        for f in files:
+            if f.endswith(".py") and f != "config.py":
+                sources.append(os.path.join(base, f))
+    for f in ("run.py", "train_lora.py", "bench.py", "__graft_entry__.py"):
+        p = os.path.join(root, f)
+        if os.path.exists(p):
+            sources.append(p)
+    blob = "\n".join(open(p, encoding="utf-8").read() for p in sources)
+
+    fields = set()
+    for obj in vars(cfgmod).values():
+        if dataclasses.is_dataclass(obj) and isinstance(obj, type):
+            fields.update(f.name for f in dataclasses.fields(obj))
+
+    dead = sorted(
+        name for name in fields
+        if name not in ALLOWED_DEAD
+        and not re.search(rf"\b{re.escape(name)}\b", blob))
+    assert not dead, (
+        f"config knobs referenced nowhere outside config.py: {dead} — "
+        f"wire them or add to ALLOWED_DEAD with a reason")
