@@ -107,12 +107,25 @@ def _box_blur(img: np.ndarray, it: int = 2) -> np.ndarray:
 
 
 def corrupt_inpainting(clean: np.ndarray, mask: np.ndarray,
-                       rng: np.random.Generator) -> np.ndarray:
+                       rng: np.random.Generator,
+                       mode: str = "struct") -> np.ndarray:
     """Simulate one frame of a per-view 2D inpainter: the masked region is
     plausibly filled (we start from the clean background) but carries
-    view-INCONSISTENT artifacts — a random color tint, low-frequency noise,
-    and blur — which is exactly the inconsistency stage-2 guidance exists to
-    fix (SPIn-NeRF's motivation; reference README.md:7)."""
+    view-INCONSISTENT artifacts, which is exactly the inconsistency stage-2
+    guidance exists to fix (SPIn-NeRF's motivation; reference README.md:7).
+
+    mode="tint" (the round-2 sim): a per-view color tint + low-frequency
+    noise + blur. Adequate at few views, but across ≥16 views the artifacts
+    are zero-mean-ish and the NeRF's multi-view average nearly recovers the
+    clean background — stage-1 alone reaches ~32 dB masked at 252×189/16
+    views, leaving guidance nothing to fix.
+
+    mode="struct" (round-3 production sim): additionally composites 2-4
+    per-view HALLUCINATED soft blobs (random position/size/color inside the
+    mask bbox) — real 2D inpainters (LaMa/SD) hallucinate different
+    STRUCTURE per frame, so the cross-view mean is blurry mush, not the
+    clean background. Blob geometry scales with the mask bbox and the blur
+    with resolution, keeping the difficulty resolution-independent."""
     H, W = mask.shape
     tint = rng.uniform(0.1, 0.9, 3).astype(np.float32)
     # low-frequency noise: bilinear-upsampled coarse field
@@ -130,7 +143,22 @@ def corrupt_inpainting(clean: np.ndarray, mask: np.ndarray,
     noise = ((1 - fy) * ((1 - fx) * c00 + fx * c01)
              + fy * ((1 - fx) * c10 + fx * c11))
     filled = 0.65 * clean + 0.35 * tint + 0.15 * noise
-    filled = _box_blur(filled, it=2)
+    if mode == "struct":
+        ys, xs = np.where(mask > 0)
+        if len(ys):
+            gy, gx = np.mgrid[0:H, 0:W].astype(np.float32)
+            hh = max(float(ys.max() - ys.min()), 4.0)
+            ww = max(float(xs.max() - xs.min()), 4.0)
+            for _ in range(rng.integers(2, 5)):
+                cy = rng.uniform(ys.min(), ys.max())
+                cx = rng.uniform(xs.min(), xs.max())
+                ry = rng.uniform(0.15, 0.45) * hh
+                rx = rng.uniform(0.15, 0.45) * ww
+                w = np.exp(-(((gy - cy) / ry) ** 2
+                             + ((gx - cx) / rx) ** 2))[..., None]
+                col = rng.uniform(0.0, 1.0, 3).astype(np.float32)
+                filled = filled * (1 - 0.8 * w) + col * (0.8 * w)
+    filled = _box_blur(filled, it=max(2, W // 64))
     m = mask[..., None].astype(np.float32)
     return np.clip(clean * (1 - m) + filled * m, 0, 1)
 
@@ -144,6 +172,10 @@ def main():
     ap.add_argument("--H", type=int, default=48)
     ap.add_argument("--W", type=int, default=64)
     ap.add_argument("--factor", type=int, default=4)
+    ap.add_argument("--corruption", choices=("tint", "struct"),
+                    default="struct",
+                    help="per-view 2D-inpainter artifact model (see "
+                         "corrupt_inpainting; round-2 numbers used 'tint')")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -210,11 +242,32 @@ def main():
         name = f"img_{k:03d}.png"
         train_img = imgs[k]
         if args.task == "inpaint":
-            train_img = corrupt_inpainting(imgs[k], masks[k], rng)
+            train_img = corrupt_inpainting(imgs[k], masks[k], rng,
+                                           mode=args.corruption)
         img8 = (np.clip(train_img, 0, 1) * 255).astype(np.uint8)
         imageio.imwrite(os.path.join(sub, "RGB_inpainted", name), img8)
         imageio.imwrite(os.path.join(sub, "label", name), masks[k] * 255)
         disp = 1.0 / np.maximum(depths[k], 1e-3)
+        if args.task == "inpaint" and args.corruption == "struct":
+            # Depth_inpainted fidelity: the reference's depth maps are
+            # themselves 2D-INPAINTED (SPIn-NeRF pipeline) — inside the
+            # mask they carry per-view low-frequency error, they are not
+            # ground truth. Clean per-view depth would hand stage-1 a
+            # perfect geometric crutch inside the mask that no real scene
+            # provides (measured: with clean depth, stage-1's masked
+            # region interpolates to 32.3 dB at 252×189/16 views and
+            # stage-2 has nothing left to fix).
+            coarse = rng.uniform(-1.0, 1.0, (5, 6)).astype(np.float32)
+            hh, ww = disp.shape
+            yy = np.linspace(0, coarse.shape[0] - 1.001, hh)
+            xx = np.linspace(0, coarse.shape[1] - 1.001, ww)
+            y0, x0 = yy.astype(int), xx.astype(int)
+            fy, fx = (yy - y0)[:, None], (xx - x0)[None, :]
+            c = ((1 - fy) * ((1 - fx) * coarse[y0][:, x0]
+                             + fx * coarse[y0][:, x0 + 1])
+                 + fy * ((1 - fx) * coarse[y0 + 1][:, x0]
+                         + fx * coarse[y0 + 1][:, x0 + 1]))
+            disp = np.where(masks[k] > 0, disp * (1.0 + 0.25 * c), disp)
         disp8 = (disp / disp.max() * 255).astype(np.uint8)
         imageio.imwrite(os.path.join(sub, "Depth_inpainted", name), disp8)
     print(f"wrote {n_total} poses ({args.n_test} test, task={args.task}) "

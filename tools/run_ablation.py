@@ -25,6 +25,14 @@ assembly being ablated: run.py:1470-1517 + sd_utils.py:338-523.
 
 Usage:  python tools/run_ablation.py /tmp/ablation [--iters1 3000]
         [--iters2 2000] [--skip_prior] [--arms s1,nog,rand,prior]
+
+--production (VERDICT r2 #1: the flagship claim at the reference's workload
+scale): factor-4 SPIn-NeRF-like images (252×189), 16 train views, masks of
+1.8-6k pixels/view, the production CP field config (rank-16 CP grid,
+N_rand=1024, N_samples=N_importance=64 — aconfig_1.txt:32-34), guidance
+latents 256², the reference's shipped sds_loss_weight=1e-4 and 20k anneal
+denominator (aconfig_1.txt:60, sd_utils.py:444), 10k stage-1 + 10k stage-2
+(aconfig_1.txt:66), prior trained at the matching 256² resolution.
 """
 from __future__ import annotations
 
@@ -41,16 +49,9 @@ COMMON = """
 datadir = {scene}
 dataset_type = llff
 factor = 4
-test_split_count = 2
+test_split_count = {n_test}
 colmap_depth = False
-no_tcnn = True
-netdepth = 2
-netwidth = 64
-netdepth_fine = 2
-netwidth_fine = 64
-N_samples = 32
-N_importance = 16
-N_rand = 512
+{field}
 basedir = {logs}
 expname = {arm}
 i_print = 250
@@ -59,6 +60,26 @@ i_video = 1000000000
 i_testset = 1000000000
 render_factor = 0
 """
+
+FIELD_SMOKE = """no_tcnn = True
+netdepth = 2
+netwidth = 64
+netdepth_fine = 2
+netwidth_fine = 64
+N_samples = 32
+N_importance = 16
+N_rand = 512"""
+
+# the production CP field + sampling knobs (configs/spinnerf_scene.txt,
+# aconfig_1.txt:32-34); colmap/ndc knobs stay scene-appropriate (the
+# synthetic scene ships no sparse depth)
+FIELD_PROD = """no_tcnn = False
+field_type = cp
+cp_bound = 8.0
+N_samples = 64
+N_importance = 64
+N_rand = 1024
+raw_noise_std = 1e0"""
 
 STAGE2 = """
 first_stage = False
@@ -73,7 +94,8 @@ w2 = 0.5
 w3 = 0.5
 sds_loss_weight = {sds_w}
 anneal_iters = {anneal}
-sd_latent_size = 128
+sd_latent_size = {latent}
+{extra}
 """
 
 
@@ -103,15 +125,38 @@ def last_eval(expdir):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("out")
-    ap.add_argument("--iters1", type=int, default=3000)
-    ap.add_argument("--iters2", type=int, default=2000)
-    ap.add_argument("--sds_w", type=float, default=1e-3)
-    ap.add_argument("--anneal", type=int, default=4000)
-    ap.add_argument("--prior_steps", type=int, default=4000)
+    ap.add_argument("--production", action="store_true",
+                    help="reference-workload scale (see module docstring)")
+    ap.add_argument("--iters1", type=int, default=None)
+    ap.add_argument("--iters2", type=int, default=None)
+    ap.add_argument("--sds_w", type=float, default=None)
+    ap.add_argument("--anneal", type=int, default=None)
+    ap.add_argument("--latent", type=int, default=None,
+                    help="guidance latent size (sd_latent_size)")
+    ap.add_argument("--H", type=int, default=None)
+    ap.add_argument("--W", type=int, default=None)
+    ap.add_argument("--n_train", type=int, default=None)
+    ap.add_argument("--n_test", type=int, default=None)
+    ap.add_argument("--prior_steps", type=int, default=None)
     ap.add_argument("--skip_prior", action="store_true",
                     help="reuse an existing prior ckpt")
     ap.add_argument("--arms", default="s1,nog,rand,prior")
     args = ap.parse_args()
+
+    prod = args.production
+    dflt = dict(iters1=10000 if prod else 3000,
+                iters2=10000 if prod else 2000,
+                # reference-shipped guidance weight/anneal in production
+                # (aconfig_1.txt:60; sd_utils.py:444)
+                sds_w=1e-4 if prod else 1e-3,
+                anneal=20000 if prod else 4000,
+                latent=256 if prod else 128,
+                H=189 if prod else 96, W=252 if prod else 128,
+                n_train=16 if prod else 8, n_test=3 if prod else 2,
+                prior_steps=6000 if prod else 4000)
+    for k, v in dflt.items():
+        if getattr(args, k) is None:
+            setattr(args, k, v)
 
     out = os.path.abspath(args.out)
     scene = os.path.join(out, "scene")
@@ -123,19 +168,25 @@ def main():
 
     if not os.path.isdir(scene):
         run([py, "tools/make_synthetic_scene.py", scene, "--task", "inpaint",
-             "--H", "96", "--W", "128", "--n_train", "8", "--n_test", "2"],
+             "--H", str(args.H), "--W", str(args.W),
+             "--n_train", str(args.n_train), "--n_test", str(args.n_test)],
             os.path.join(out, "scene.log"))
 
     wants_prior = any(a.startswith("prior") for a in arms)
     if wants_prior and not args.skip_prior and not os.path.exists(prior):
-        run([py, "tools/train_tiny_prior.py", prior, "--res", "128",
+        # prior trained at the guidance resolution (the CSD path resizes
+        # every render to latent²; the prior must match)
+        run([py, "tools/train_tiny_prior.py", prior,
+             "--res", str(args.latent),
              "--steps_unet", str(args.prior_steps)],
             os.path.join(out, "prior.log"))
 
+    field = FIELD_PROD if args.production else FIELD_SMOKE
     def write_cfg(arm, body):
         p = os.path.join(out, f"cfg_{arm}.txt")
         with open(p, "w") as f:
-            f.write(COMMON.format(scene=scene, logs=logs, arm=arm) + body)
+            f.write(COMMON.format(scene=scene, logs=logs, arm=arm,
+                                  field=field, n_test=args.n_test) + body)
         return p
 
     # ---- stage 1 (shared) ----
@@ -147,7 +198,9 @@ def main():
         run([py, "run.py", "--config", cfg], os.path.join(out, "s1.log"))
 
     # ---- stage 2 arms ----
-    stage2 = STAGE2.format(sds_w=args.sds_w, anneal=args.anneal)
+    extra = ("cache_masked_latents = True" if args.production else "")
+    stage2 = STAGE2.format(sds_w=args.sds_w, anneal=args.anneal,
+                           latent=args.latent, extra=extra)
     n2 = args.iters1 + args.iters2
     arm_cfgs = {
         "nog": "is_rgb_guidance = False\n",
@@ -159,7 +212,10 @@ def main():
         # restarting at stage-2 entry (stable.py normal_start_iter).
         "priorN": ("is_rgb_guidance = True\nis_normal_guidance = True\n"
                    f"normal_start_iter = {args.iters1}\n"
-                   "normalmap_render_factor = 4\n"
+                   # production keeps the reference's shipped factor 7
+                   # (aconfig_1.txt:64); the 96×128 smoke needs 4 for a
+                   # usable normal-map resolution
+                   f"normalmap_render_factor = {7 if prod else 4}\n"
                    "sd_tiny = True\n"
                    f"sd_prior_ckpt = {prior}\n"),
     }

@@ -128,9 +128,18 @@ def main():
     sched = mods.schedule
     lr_res = args.res // 8
 
-    print(f"[prior] generating {args.n_domain} domain images at "
-          f"{args.res}² ...", flush=True)
-    rgb_np, nrm_np = make_domain_images(args.n_domain, args.res, args.seed)
+    cache = args.out + ".domain.npz"
+    if os.path.exists(cache):
+        z = np.load(cache)
+        rgb_np, nrm_np = z["rgb"], z["nrm"]
+        print(f"[prior] loaded {len(rgb_np)} cached domain images ({cache})",
+              flush=True)
+    else:
+        print(f"[prior] generating {args.n_domain} domain images at "
+              f"{args.res}² ...", flush=True)
+        rgb_np, nrm_np = make_domain_images(args.n_domain, args.res,
+                                            args.seed)
+        np.savez(cache, rgb=rgb_np, nrm=nrm_np)
     # Combined two-modality pool [2n]: first n RGB, last n normal maps
     # (the reference's LoRA prior trains jointly on RGB + normal data with
     # per-modality captions, train_dreambooth...py; embeds6 mirrors that).
@@ -152,8 +161,12 @@ def main():
                 + 0.1 * (var - 1.0) ** 2
                 + 1e-3 * jnp.mean(jnp.mean(z, axis=(1, 2)) ** 2))
 
+    # The domain pool rides as a jit ARGUMENT (design invariant: a closure
+    # capture bakes it into the executable as constants — at 256² the
+    # 768-image pool is ~600 MB of baked constants, which overflows the
+    # axon tunnel's remote-compile request limit with HTTP 413).
     @jax.jit
-    def vae_chunk(vp, opt, rng):
+    def vae_chunk(vp, opt, rng, imgs):
         def body(_, carry):
             vp, opt, rng = carry
             rng, k_b, k_l = jax.random.split(rng, 3)
@@ -171,9 +184,10 @@ def main():
 
     vp, opt = mods.vae_params, tx_v.init(mods.vae_params)
     rng = jax.random.PRNGKey(args.seed + 10)
+    imgs = jax.device_put(imgs)
     t0 = time.time()
     for i in range(0, args.steps_vae, args.chunk):
-        vp, opt, rng, l = vae_chunk(vp, opt, rng)
+        vp, opt, rng, l = vae_chunk(vp, opt, rng, imgs)
         print(f"[vae {i + args.chunk}/{args.steps_vae}] loss={float(l):.4f} "
               f"({args.chunk / (time.time() - t0):.0f} it/s)", flush=True)
         t0 = time.time()
@@ -182,7 +196,7 @@ def main():
     # ---- phase B: UNet inpaint-denoiser -------------------------------
     tx_u = optax.adam(args.lr * 0.5)
 
-    def unet_loss(up, batch_img, batch_mask, batch_idx, rng):
+    def unet_loss(up, vp, embeds6, batch_img, batch_mask, batch_idx, rng):
         k_t, k_n, k_e1, k_e2, k_c = jax.random.split(rng, 5)
         B = batch_img.shape[0]
         enc = lambda x, k: mods.vae.apply({"params": vp}, x, k,
@@ -207,29 +221,33 @@ def main():
         pred = mods.unet.apply({"params": up}, unet_in, t, emb)
         return jnp.mean((pred - noise) ** 2)
 
+    # pool/masks/embeds/frozen-VAE all as jit arguments (see vae_chunk note)
     @jax.jit
-    def unet_chunk(up, opt, rng):
+    def unet_chunk(up, opt, rng, imgs, masks, embeds6, vp):
         def body(_, carry):
             up, opt, rng = carry
             rng, k_b, k_m, k_l = jax.random.split(rng, 4)
             idx = jax.random.randint(k_b, (args.batch,), 0, n_pool)
             midx = jax.random.randint(k_m, (args.batch,), 0, args.n_domain)
             loss, grads = jax.value_and_grad(unet_loss)(
-                up, jnp.take(imgs, idx, 0), jnp.take(masks, midx, 0), idx,
-                k_l)
+                up, vp, embeds6, jnp.take(imgs, idx, 0),
+                jnp.take(masks, midx, 0), idx, k_l)
             upd, opt = tx_u.update(grads, opt, up)
             return optax.apply_updates(up, upd), opt, rng
         up, opt, rng = jax.lax.fori_loop(0, args.chunk, body, (up, opt, rng))
         k_b, k_m, k_l = jax.random.split(rng, 3)
         idx = jax.random.randint(k_b, (args.batch,), 0, n_pool)
         midx = jax.random.randint(k_m, (args.batch,), 0, args.n_domain)
-        return up, opt, rng, unet_loss(up, jnp.take(imgs, idx, 0),
+        return up, opt, rng, unet_loss(up, vp, embeds6,
+                                       jnp.take(imgs, idx, 0),
                                        jnp.take(masks, midx, 0), idx, k_l)
 
     up, opt = mods.unet_params, tx_u.init(mods.unet_params)
+    masks = jax.device_put(masks)
+    embeds6 = jax.device_put(embeds6)
     t0 = time.time()
     for i in range(0, args.steps_unet, args.chunk):
-        up, opt, rng, l = unet_chunk(up, opt, rng)
+        up, opt, rng, l = unet_chunk(up, opt, rng, imgs, masks, embeds6, vp)
         print(f"[unet {i + args.chunk}/{args.steps_unet}] "
               f"loss={float(l):.4f} "
               f"({args.chunk / (time.time() - t0):.0f} it/s)", flush=True)
