@@ -459,10 +459,16 @@ def make_train_step_stage2(cfg: Config, coarse_model, fine_model,
 
             # Divergence, documented — two reference knobs deliberately NOT
             # implemented at this dispatch site:
-            #  * is_crop (run.py:1402-1410, 1489-1495): crop combin_rgb/mask
+            #  * is_crop (run.py:1402-1410, 1489-1495): crop combin_rgb
             #    to the mask bbox before guidance. Ships False and the
-            #    reference comments it "we do not use it"; a data-dependent
-            #    bbox would also force dynamic shapes under jit.
+            #    reference comments it "we do not use it" — and its own
+            #    crop branch is internally inconsistent: the IMAGE is
+            #    cropped but cal_loss still receives the FULL-frame
+            #    mask.reshape(1,1,H,W) (run.py:1490,1497), so after the
+            #    in-guidance 512² resize the mask no longer aligns with
+            #    the image content. Reproducing that is reproducing a
+            #    bug in a dead knob; a data-dependent bbox would also
+            #    force dynamic shapes under jit.
             #  * use_ref / "cream" loss (run.py:1378-1383, 1508-1510): a
             #    hard-coded per-scene hack (fires only when the random view
             #    is img_i == 68-40) adding an MSE against one reference

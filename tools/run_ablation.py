@@ -138,6 +138,10 @@ def main():
     ap.add_argument("--n_train", type=int, default=None)
     ap.add_argument("--n_test", type=int, default=None)
     ap.add_argument("--prior_steps", type=int, default=None)
+    ap.add_argument("--seed", type=int, default=0,
+                    help="scene-generation seed (fresh world + corruption "
+                         "draw; the domain prior is scene-independent and "
+                         "can be reused across seeds via --skip_prior)")
     ap.add_argument("--skip_prior", action="store_true",
                     help="reuse an existing prior ckpt")
     ap.add_argument("--arms", default="s1,nog,rand,prior")
@@ -169,7 +173,8 @@ def main():
     if not os.path.isdir(scene):
         run([py, "tools/make_synthetic_scene.py", scene, "--task", "inpaint",
              "--H", str(args.H), "--W", str(args.W),
-             "--n_train", str(args.n_train), "--n_test", str(args.n_test)],
+             "--n_train", str(args.n_train), "--n_test", str(args.n_test),
+             "--seed", str(args.seed)],
             os.path.join(out, "scene.log"))
 
     wants_prior = any(a.startswith("prior") for a in arms)
