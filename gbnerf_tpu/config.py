@@ -130,6 +130,14 @@ class GuidanceConfig:
     # analog of the reference's LoRA scene prior; loaded over the sd_tiny
     # stack for the guidance ablation.
     sd_prior_ckpt: Optional[str] = None
+    # Flax LoRA adapters from THIS repo's trainer (train_lora.py
+    # lora_*.safetensors), merged into the guidance UNet (and text encoder
+    # when text adapters are present) at setup — the native-format
+    # counterpart of `model_path` (which merges torch-PEFT dirs into real
+    # SD weights). Closes the reference's end-to-end workflow: DreamBooth-
+    # LoRA the prior on the scene, then guide stage-2 with it
+    # (train_dreambooth...py → run.py --model_path).
+    sd_lora_ckpt: Optional[str] = None
     # Tensor-parallel guidance: size of the mesh's `model` axis. When >1
     # (and devices % tp == 0) stage-2 builds a (data, model) mesh, shards
     # the UNet/VAE kernels out-channel over `model` (parallel/tp.py) and
@@ -305,6 +313,7 @@ _FLAG_MAP = {
     "cache_masked_latents": ("guidance", "cache_masked_latents"),
     "guidance_tp": ("guidance", "tp"),
     "sd_prior_ckpt": ("guidance", "sd_prior_ckpt"),
+    "sd_lora_ckpt": ("guidance", "sd_lora_ckpt"),
     "sd_latent_size": ("guidance", "sd_latent_size"),
     "perpneg": ("guidance", "perpneg"),
     "default_azimuth": ("guidance", "default_azimuth"),

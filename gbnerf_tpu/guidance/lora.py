@@ -124,3 +124,60 @@ def load_lora(path: str) -> Dict:
             node = node.setdefault(p, {})
         node[parts[-1]] = jnp.asarray(val)
     return tree
+
+
+def split_adapters(path: str) -> Tuple[Dict, Optional[Dict]]:
+    """Load a train_lora.py checkpoint → (unet_adapters, text_adapters|None).
+
+    The trainer saves either a bare UNet adapter tree or, with
+    --train_text_encoder, {"unet": ..., "text": ...} (lora_trainer.py
+    init_fn). A bare UNet tree can never have top-level keys exactly
+    {"unet"[, "text"]} — its roots are UNet module names — so the wrapper
+    detection is unambiguous."""
+    tree = load_lora(path)
+    if set(tree) <= {"unet", "text"} and "unet" in tree:
+        return tree["unet"], tree.get("text")
+    return tree, None
+
+
+def merge_lora_strict(base_params: Dict, lora_params: Dict, *,
+                      alpha: Optional[float] = None,
+                      what: str = "unet", source: str = "?") -> Dict:
+    """apply_lora + loud failure when adapters don't fit the base tree.
+
+    apply_lora by itself SKIPS adapter leaves whose path is absent from the
+    base tree — right for training (the base tree is authoritative), wrong
+    for loading a user checkpoint, where a config mismatch (tiny vs full
+    stack, different width) must not silently no-op the guidance prior."""
+    base_leaves = {p: v.shape for p, v in _iter_leaves(base_params)}
+    lora_leaves = dict(_iter_leaves(lora_params))
+    bad = []
+    n = 0
+    for p in lora_leaves:
+        if p[-1] != "lora_A":
+            continue                      # count each adapter once, via A
+        tgt = p[:-1]
+        if tgt not in base_leaves:
+            bad.append("/".join(tgt) + " (no such param)")
+            continue
+        a_shape = lora_leaves[p].shape
+        i_flat = int(np.prod(base_leaves[tgt][:-1]))
+        if a_shape[0] != i_flat:
+            bad.append(f"{'/'.join(tgt)} (lora_A rows {a_shape[0]} != "
+                       f"base fan-in {i_flat})")
+            continue
+        n += 1
+    if bad or n == 0:
+        raise ValueError(
+            f"LoRA checkpoint {source} does not fit the {what} it is being "
+            f"loaded into ({n} adapters matched, {len(bad)} mismatched"
+            + (": " + "; ".join(bad[:5]) if bad else "")
+            + "). The adapters must be trained on the SAME stack config "
+            "(tiny vs full, width) as the guidance run.")
+    rank = None
+    for p, v in _iter_leaves(lora_params):
+        if p[-1] == "lora_A":
+            rank = int(v.shape[1])
+            break
+    return apply_lora(base_params, lora_params,
+                      rank=rank or 32, alpha=alpha)

@@ -134,6 +134,24 @@ def build_sd_modules(
             weights_dir, unet_params, vae_params, text_params,
             lora_dir=gcfg.model_path, lora_rank=gcfg.lora_rank)
 
+    if gcfg.sd_lora_ckpt and not gcfg.sd_prior_ckpt:
+        # Native flax adapters from train_lora.py, merged BEFORE the prompt
+        # embeds are computed so text-encoder adapters take effect. The
+        # prior-ckpt flow merges later instead (train/loop.py) because
+        # load_prior_ckpt replaces the UNet params after this point.
+        from .lora import merge_lora_strict, split_adapters
+
+        unet_ad, text_ad = split_adapters(gcfg.sd_lora_ckpt)
+        unet_params = merge_lora_strict(unet_params, unet_ad, what="unet",
+                                        source=gcfg.sd_lora_ckpt)
+        if text_ad is not None:
+            text_params = merge_lora_strict(text_params, text_ad,
+                                            what="text encoder",
+                                            source=gcfg.sd_lora_ckpt)
+        print(f"[guidance] merged flax LoRA adapters from "
+              f"{gcfg.sd_lora_ckpt}"
+              + (" (unet+text)" if text_ad is not None else " (unet)"))
+
     text_apply = jax.jit(text_model.apply)
 
     def encode_triple(prompt: str, negative: str) -> jnp.ndarray:

@@ -277,6 +277,29 @@ def train(cfg: Config, *, guidance_fn=None,
             from ..guidance.weights import load_prior_ckpt
 
             mods = load_prior_ckpt(g.sd_prior_ckpt, mods)
+            if g.sd_lora_ckpt:
+                # The reference's end-to-end workflow on the tiny stack:
+                # LoRA adapters fine-tuned ON the prior (train_lora.py
+                # --sd_prior_ckpt) merge after the prior load. Text
+                # adapters cannot apply here — the prior ckpt bakes the
+                # prompt embeds, there is no text tower to adapt.
+                import dataclasses as _dc
+
+                from ..guidance.lora import (merge_lora_strict,
+                                             split_adapters)
+
+                unet_ad, text_ad = split_adapters(g.sd_lora_ckpt)
+                if text_ad is not None:
+                    raise ValueError(
+                        "sd_lora_ckpt contains text-encoder adapters but "
+                        "sd_prior_ckpt bakes the prompt embeds — retrain "
+                        "the LoRA without --train_text_encoder for the "
+                        "prior-ckpt flow.")
+                mods = _dc.replace(mods, unet_params=merge_lora_strict(
+                    mods.unet_params, unet_ad, what="prior unet",
+                    source=g.sd_lora_ckpt))
+                print(f"[guidance] merged flax LoRA adapters from "
+                      f"{g.sd_lora_ckpt} into the prior unet")
         guidance_fn = make_guidance_fn(mods, g, n_iters=t.N_iters)
         from ..guidance.stable import guidance_params
 

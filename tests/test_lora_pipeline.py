@@ -73,6 +73,58 @@ def test_lora_save_load_roundtrip(tmp_path, tiny_mods, key):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
 
+def test_sd_lora_ckpt_merges_into_guidance(tmp_path, tiny_mods, key):
+    """The end-to-end workflow knob: train_lora.py adapters load into the
+    guidance stack via guidance.sd_lora_ckpt (reference: train_dreambooth
+    adapters reach run.py through --model_path)."""
+    from gbnerf_tpu.guidance.lora import merge_lora_strict, split_adapters
+
+    _, mods = tiny_mods
+    lora = init_lora(key, mods.unet_params, rank=4)
+    # make the delta nonzero (B is zeros at init = identity merge)
+    lora = jax.tree_util.tree_map(lambda x: x + 0.01, lora)
+    p = str(tmp_path / "lora_000001.safetensors")
+    save_lora(jax.device_get(lora), p)
+
+    # bare-unet checkpoint: no text adapters detected
+    unet_ad, text_ad = split_adapters(p)
+    assert text_ad is None
+    merged = merge_lora_strict(mods.unet_params, unet_ad, source=p)
+    diffs = sum(
+        int(not np.allclose(np.asarray(a), np.asarray(b)))
+        for a, b in zip(jax.tree_util.tree_leaves(mods.unet_params),
+                        jax.tree_util.tree_leaves(merged)))
+    assert diffs > 0, "nonzero adapters must change the merged params"
+
+    # the full config path: build_sd_modules consumes sd_lora_ckpt
+    gcfg2 = GuidanceConfig(prompt="a bench", negative_prompt="ugly",
+                           sd_lora_ckpt=p)
+    mods2 = build_sd_modules(
+        gcfg2, jax.random.PRNGKey(0),
+        unet_config=UNetConfig.tiny(), vae_config=VAEConfig.tiny(),
+        text_config=CLIPTextConfig(vocab_size=49408, width=32, layers=2,
+                                   heads=2),
+        latent_size=64, dtype=jnp.float32)
+    diffs = sum(
+        int(not np.allclose(np.asarray(a), np.asarray(b)))
+        for a, b in zip(jax.tree_util.tree_leaves(mods.unet_params),
+                        jax.tree_util.tree_leaves(mods2.unet_params)))
+    assert diffs > 0
+
+    # wrapped {unet} checkpoint: wrapper detected, no text half
+    wrapped = {"unet": lora}
+    p2 = str(tmp_path / "lora_wrapped.safetensors")
+    save_lora(jax.device_get(wrapped), p2)
+    unet_ad2, text_ad2 = split_adapters(p2)
+    assert text_ad2 is None
+    assert set(unet_ad2) == set(lora)
+
+    # mismatched stack fails LOUDLY, never a silent no-op
+    with pytest.raises(ValueError, match="does not fit"):
+        merge_lora_strict({"some": {"kernel": jnp.zeros((3, 3))}}, unet_ad,
+                          source=p)
+
+
 def test_lora_train_step_reduces_loss(tiny_mods, key):
     _, mods = tiny_mods
     from gbnerf_tpu.train.lora_trainer import make_lora_train_step

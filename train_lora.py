@@ -42,6 +42,14 @@ def main():
                     help="denoise steps for class-image generation")
     ap.add_argument("--train_text_encoder", action="store_true",
                     help="rank-4 text-encoder adapters (ref :656-663)")
+    ap.add_argument("--sd_prior_ckpt", default=None,
+                    help="tiny-prior msgpack (tools/train_tiny_prior.py) to "
+                         "fine-tune ON — the tiny-stack analog of the "
+                         "reference personalizing SD1.5-inpaint; consume "
+                         "the adapters in stage-2 via guidance.sd_lora_ckpt")
+    ap.add_argument("--latent_size", type=int, default=None,
+                    help="guidance/render resolution (default 64 tiny, "
+                         "512 full; set to the prior's training res)")
     args = ap.parse_args()
     if args.with_prior_preservation and not (args.class_data_dir
                                              and args.class_prompt):
@@ -70,9 +78,16 @@ def main():
                   vae_config=VAEConfig.tiny(),
                   text_config=CLIPTextConfig(vocab_size=49408, width=32,
                                              layers=2, heads=2),
-                  latent_size=64, dtype=jnp.float32)
+                  latent_size=args.latent_size or 64, dtype=jnp.float32)
+    elif args.latent_size:
+        kw = dict(latent_size=args.latent_size)
     mods = build_sd_modules(gcfg, jax.random.PRNGKey(args.seed),
                             weights_dir=args.sd_weights_dir, **kw)
+    if args.sd_prior_ckpt:
+        from gbnerf_tpu.guidance.weights import load_prior_ckpt
+
+        mods = load_prior_ckpt(args.sd_prior_ckpt, mods)
+        print(f"[lora] fine-tuning on prior {args.sd_prior_ckpt}")
 
     # prompt encoder for caption batches
     tcfg = kw.get("text_config") or CLIPTextConfig()
@@ -90,7 +105,8 @@ def main():
     def encode_prompt(captions):
         return text_apply({"params": tparams}, tokenize(captions))
 
-    resolution = args.resolution if not args.tiny else 64
+    resolution = (args.resolution if not args.tiny
+                  else (args.latent_size or 64))
     dataset = DreamBoothInpaintDataset(
         args.instance_data_dir, caption_dir=args.caption_dir,
         mask_dir=args.instance_mask_dir, resolution=resolution)
