@@ -14,10 +14,14 @@ environment — VERDICT.md round-1 item #2):
   Prior   `train_tiny_prior.py`: the tiny flax SD stack trained from
           scratch on procedurally random sphere-worlds (domain prior, the
           weights-free analog of the reference's LoRA scene prior).
-  Arms    s1    stage-1 only (DS-NeRF fit of the inconsistent inpaintings)
-          nog   stage-2, LPIPS patch loss, NO guidance
-          rand  stage-2, LPIPS + CSD guidance from the RANDOM-weight prior
-          prior stage-2, LPIPS + CSD guidance from the TRAINED prior
+  Arms    s1     stage-1 only (DS-NeRF fit of the inconsistent inpaintings)
+          nog    stage-2, LPIPS patch loss, NO guidance
+          rand   stage-2, LPIPS + CSD guidance from the RANDOM-weight prior
+          prior  stage-2, LPIPS + CSD guidance from the TRAINED prior
+          priorN prior + normal-map CSD from the same prior (the paper's
+                 geometric-prior novelty)
+          priorL prior + scene LoRA adapters (the reference's full
+                 DreamBooth→guidance workflow, via guidance.sd_lora_ckpt)
 
 All arms share the stage-1 checkpoint; metrics come from each run's final
 held-out eval (masked/unmasked/full PSNR vs clean GT). Reference loss
@@ -138,6 +142,8 @@ def main():
     ap.add_argument("--n_train", type=int, default=None)
     ap.add_argument("--n_test", type=int, default=None)
     ap.add_argument("--prior_steps", type=int, default=None)
+    ap.add_argument("--lora_steps", type=int, default=None,
+                    help="scene-LoRA fine-tune steps for the priorL arm")
     ap.add_argument("--seed", type=int, default=0,
                     help="scene-generation seed (fresh world + corruption "
                          "draw; the domain prior is scene-independent and "
@@ -157,7 +163,8 @@ def main():
                 latent=256 if prod else 128,
                 H=189 if prod else 96, W=252 if prod else 128,
                 n_train=16 if prod else 8, n_test=3 if prod else 2,
-                prior_steps=6000 if prod else 4000)
+                prior_steps=6000 if prod else 4000,
+                lora_steps=1000 if prod else 300)
     for k, v in dflt.items():
         if getattr(args, k) is None:
             setattr(args, k, v)
@@ -185,6 +192,27 @@ def main():
              "--res", str(args.latent),
              "--steps_unet", str(args.prior_steps)],
             os.path.join(out, "prior.log"))
+
+    # priorL: the reference's FULL workflow — DreamBooth-LoRA the prior on
+    # the scene's (inpainted) training images with the label masks
+    # excluding the corrupted region from the loss, then guide stage-2
+    # with prior+adapters (train_dreambooth...py → run.py --model_path;
+    # here train_lora.py → guidance.sd_lora_ckpt).
+    lora_ckpt = os.path.join(out, "lora",
+                             f"lora_{args.lora_steps:06d}.safetensors")
+    if "priorL" in arms and not os.path.exists(lora_ckpt):
+        run([py, "train_lora.py", "--tiny",
+             "--sd_prior_ckpt", prior,
+             "--latent_size", str(args.latent),
+             "--instance_data_dir",
+             os.path.join(scene, "images_4", "RGB_inpainted"),
+             "--instance_mask_dir",
+             os.path.join(scene, "images_4", "label"),
+             "--output_dir", os.path.join(out, "lora"),
+             "--max_train_steps", str(args.lora_steps),
+             "--train_batch_size", "4",
+             "--checkpointing_steps", str(args.lora_steps)],
+            os.path.join(out, "lora.log"))
 
     field = FIELD_PROD if args.production else FIELD_SMOKE
     def write_cfg(arm, body):
@@ -215,6 +243,9 @@ def main():
         # The paper's actual novelty (geometric diffusion prior): RGB CSD
         # + normal-map CSD from the same trained prior, normal anneal
         # restarting at stage-2 entry (stable.py normal_start_iter).
+        "priorL": ("is_rgb_guidance = True\nsd_tiny = True\n"
+                   f"sd_prior_ckpt = {prior}\n"
+                   f"sd_lora_ckpt = {lora_ckpt}\n"),
         "priorN": ("is_rgb_guidance = True\nis_normal_guidance = True\n"
                    f"normal_start_iter = {args.iters1}\n"
                    # production keeps the reference's shipped factor 7

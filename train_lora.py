@@ -102,8 +102,25 @@ def main():
     def tokenize(captions):
         return jnp.asarray(tok(captions))
 
-    def encode_prompt(captions):
-        return text_apply({"params": tparams}, tokenize(captions))
+    if args.sd_prior_ckpt and not args.caption_dir:
+        # Condition the fine-tune on the PRIOR's baked embedding triple —
+        # stage-2 guidance conditions the UNet on exactly these
+        # (loop.py sd_prior_ckpt flow), and the prior itself was trained
+        # with conditioning sampled uniformly from the triple
+        # (tools/train_tiny_prior.py phase B). A fresh random text
+        # encoder would train the adapters against embeddings guidance
+        # never uses.
+        import numpy as np
+
+        emb3 = np.asarray(mods.embeds_rgb)
+        erng = np.random.default_rng(args.seed + 3)
+
+        def encode_prompt(captions):
+            idx = erng.integers(0, emb3.shape[0], len(captions))
+            return jnp.asarray(emb3[idx])
+    else:
+        def encode_prompt(captions):
+            return text_apply({"params": tparams}, tokenize(captions))
 
     resolution = (args.resolution if not args.tiny
                   else (args.latent_size or 64))
