@@ -22,6 +22,8 @@ environment — VERDICT.md round-1 item #2):
                  geometric-prior novelty)
           priorL prior + scene LoRA adapters (the reference's full
                  DreamBooth→guidance workflow, via guidance.sd_lora_ckpt)
+          priorNL priorN + scene LoRA — the reference's SHIPPED
+                 configuration shape (aconfig_1.txt:19,65)
 
 All arms share the stage-1 checkpoint; metrics come from each run's final
 held-out eval (masked/unmasked/full PSNR vs clean GT). Reference loss
@@ -200,7 +202,8 @@ def main():
     # here train_lora.py → guidance.sd_lora_ckpt).
     lora_ckpt = os.path.join(out, "lora",
                              f"lora_{args.lora_steps:06d}.safetensors")
-    if "priorL" in arms and not os.path.exists(lora_ckpt):
+    if (any(a in ("priorL", "priorNL") for a in arms)
+            and not os.path.exists(lora_ckpt)):
         run([py, "train_lora.py", "--tiny",
              "--sd_prior_ckpt", prior,
              "--latent_size", str(args.latent),
@@ -254,6 +257,14 @@ def main():
                    f"normalmap_render_factor = {7 if prod else 4}\n"
                    "sd_tiny = True\n"
                    f"sd_prior_ckpt = {prior}\n"),
+        # the reference's SHIPPED shape (aconfig_1.txt:19,65): normal
+        # guidance AND a scene-LoRA'd prior together
+        "priorNL": ("is_rgb_guidance = True\nis_normal_guidance = True\n"
+                    f"normal_start_iter = {args.iters1}\n"
+                    f"normalmap_render_factor = {7 if prod else 4}\n"
+                    "sd_tiny = True\n"
+                    f"sd_prior_ckpt = {prior}\n"
+                    f"sd_lora_ckpt = {lora_ckpt}\n"),
     }
     for arm in arms:
         if arm == "s1":
