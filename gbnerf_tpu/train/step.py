@@ -280,6 +280,7 @@ def make_train_step_stage1(cfg: Config, coarse_model, fine_model,
 
         dep = batches.get("depth")
         sig_loss = jnp.zeros(())
+        col_loss = jnp.zeros(())
         if dep is not None:
             out_d = render(rparams, dep["o"], dep["d"], k3, train=True)
             col_loss = weighted_mse(out_d.depth, dep["target"][:, 0],
@@ -297,6 +298,7 @@ def make_train_step_stage1(cfg: Config, coarse_model, fine_model,
             loss = loss + t.tv_loss_weight * cp_tv_loss(params)
 
         return loss, {"img_loss": img_loss, "depth_loss": depth_loss,
+                      "col_loss": col_loss,
                       "sigma_loss": sig_loss, "psnr": mse2psnr(img_loss)}
 
     @jax.jit

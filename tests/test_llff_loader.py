@@ -183,3 +183,52 @@ def test_llffhold_interleaved_split(tmp_path):
     s3 = load_llff_data(str(tmp_path), factor=4, origin=True,
                         test_split_count=0, llffhold=0)
     assert len(s3.poses_test) == 0 and len(s3.poses) == 6
+
+
+def test_colmap_sparse_synthetic_depths(tmp_path):
+    """--colmap_sparse emits a sparse/0 model whose loader output matches
+    the analytic geometry: for every returned (coord, depth), depth/sc
+    equals the scene's z-depth at that pixel (within the injected COLMAP
+    noise), under the reference's +skip_first keypoint/pose pairing."""
+    import math
+
+    d = str(tmp_path / "scene")
+    subprocess.run([sys.executable, "tools/make_synthetic_scene.py", d,
+                    "--task", "inpaint", "--H", "48", "--W", "64",
+                    "--n_train", "5", "--n_test", "2",
+                    "--colmap_sparse", "--n_sparse", "50"],
+                   check=True, capture_output=True)
+    assert os.path.exists(os.path.join(d, "sparse", "0", "images.bin"))
+
+    from gbnerf_tpu.data.llff import load_colmap_depth, load_poses_bounds
+    from tools.make_synthetic_scene import look_at, render_scene
+
+    gts = load_colmap_depth(d, factor=4, skip_first=2)
+    assert len(gts) == 5
+    _, bds = load_poses_bounds(d)
+    sc = 1.0 / (bds.min() * 0.75)
+
+    # re-derive the analytic scene (same slot math as the generator)
+    H, W, focal = 48, 64, 1.2 * 64
+    n_total, n_test = 7, 2
+    test_slots = [int((i + 1) * n_total / (n_test + 1)) for i in range(n_test)]
+    train_slots = [s for s in range(n_total) if s not in test_slots]
+    slot_order = test_slots + train_slots
+
+    for k, g in enumerate(gts):
+        assert len(g["depth"]) > 10
+        assert np.all(g["weight"] > 0)
+        slot = slot_order[n_test + k]
+        th = (slot / n_total - 0.5) * 0.9
+        pos = np.array([2.5 * math.sin(th), 0.3 * math.sin(2 * th),
+                        2.5 * math.cos(th)])
+        c2w = look_at(pos)
+        _, dep, _ = render_scene(H, W, focal, c2w)
+        for j in range(0, len(g["depth"]), 7):
+            x, y = g["coord"][j]
+            t = dep[int(round(y)), int(round(x))]       # euclidean along ray
+            dirv = np.array([(x - W / 2) / focal, -(y - H / 2) / focal, -1.0])
+            cosang = 1.0 / np.linalg.norm(dirv)          # z-depth = t·cos
+            z = t * cosang
+            got = g["depth"][j] / sc
+            assert abs(got - z) < 0.05 * z, (k, j, got, z)

@@ -163,6 +163,95 @@ def corrupt_inpainting(clean: np.ndarray, mask: np.ndarray,
     return np.clip(clean * (1 - m) + filled * m, 0, 1)
 
 
+def write_colmap_sparse(out, cams, depths, H, W, focal, factor,
+                        n_test, n_train, rng, n_sparse=200,
+                        noise_rel=0.005):
+    """Synthetic COLMAP sparse model → `colmap_depth = True` supervision.
+
+    Surface points are sampled from the analytic geometry per TRAIN view,
+    back-projected exactly, then perturbed by ~noise_rel·depth of 3D noise
+    with a per-point reprojection `error` (the loader weights by
+    2·exp(−(err/ē)²), load_llff.py:507).
+
+    Layout is constructed to be geometrically correct UNDER the
+    reference's +skip_first pairing (load_llff.py:491-498, reproduced in
+    data/llff.py::load_colmap_depth): the loader pairs the KEYPOINTS at
+    sorted-id position k+skip with the POSE at position k, so positions
+    0..n_train-1 carry the train poses (in train order) and position
+    k+n_test carries train view k's keypoints; the first n_test keypoint
+    sets are empty (never read).
+    """
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from gbnerf_tpu.data.colmap import (Camera, Image, Point3D, rotmat2qvec,
+                                        write_cameras_binary,
+                                        write_images_binary,
+                                        write_points3d_binary)
+
+    n_total = n_test + n_train
+
+    def w2c_colmap(c2w_gl):
+        # GL/NeRF camera (x right, y up, z backward) → COLMAP (x right,
+        # y down, z forward): flip the y/z columns, then invert.
+        R = np.stack([c2w_gl[:3, 0], -c2w_gl[:3, 1], -c2w_gl[:3, 2]], axis=1)
+        t = c2w_gl[:3, 3]
+        Rw2c = R.T
+        return Rw2c, -Rw2c @ t
+
+    # pose by position: [train_0..train_{n-1}, test_0..test_{n_test-1}]
+    pose_order = list(range(n_test, n_total)) + list(range(n_test))
+    points, images = {}, {}
+    pid = 1
+    for pos_idx in range(n_total):
+        img_id = pos_idx + 1
+        Rw2c, tvec = w2c_colmap(cams[pose_order[pos_idx]])
+        xys = np.zeros((0, 2), np.float64)
+        p3d_ids = np.zeros((0,), np.int64)
+        if pos_idx >= n_test:                    # train view k's keypoints
+            k_scene = n_test + (pos_idx - n_test)
+            c2w = cams[k_scene]
+            dep = depths[k_scene]
+            hit = np.argwhere(dep < 3.99)        # sky carries the 4.0 cap
+            sel = hit[rng.choice(len(hit), min(n_sparse, len(hit)),
+                                 replace=False)]
+            xy_l, id_l = [], []
+            for (y, x) in sel:
+                d = np.array([(x - W / 2) / focal, -(y - H / 2) / focal,
+                              -1.0])
+                rd = c2w[:3, :3] @ d
+                rd = rd / np.linalg.norm(rd)
+                p = c2w[:3, 3] + dep[y, x] * rd
+                err = float(rng.uniform(0.3, 1.5))
+                p = p + rng.normal(0, noise_rel * dep[y, x] * err, 3)
+                points[pid] = Point3D(
+                    id=pid, xyz=p.astype(np.float64),
+                    rgb=np.array([128, 128, 128], np.uint8), error=err,
+                    image_ids=np.array([img_id]),
+                    point2D_idxs=np.array([len(xy_l)]))
+                xy_l.append([x * factor, y * factor])
+                id_l.append(pid)
+                pid += 1
+            xys = np.array(xy_l, np.float64)
+            p3d_ids = np.array(id_l, np.int64)
+        images[img_id] = Image(
+            id=img_id, qvec=rotmat2qvec(Rw2c), tvec=tvec.astype(np.float64),
+            camera_id=1, name=f"img_{pos_idx:03d}.png", xys=xys,
+            point3D_ids=p3d_ids)
+
+    cam = Camera(id=1, model="SIMPLE_PINHOLE", width=W * factor,
+                 height=H * factor,
+                 params=np.array([focal * factor, W * factor / 2.0,
+                                  H * factor / 2.0]))
+    sp = os.path.join(out, "sparse", "0")
+    os.makedirs(sp, exist_ok=True)
+    write_cameras_binary({1: cam}, os.path.join(sp, "cameras.bin"))
+    write_images_binary(images, os.path.join(sp, "images.bin"))
+    write_points3d_binary(points, os.path.join(sp, "points3D.bin"))
+    return len(points)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("out")
@@ -177,6 +266,13 @@ def main():
                     help="per-view 2D-inpainter artifact model (see "
                          "corrupt_inpainting; round-2 numbers used 'tint')")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--colmap_sparse", action="store_true",
+                    help="emit a synthetic sparse/0 COLMAP model so the "
+                         "scene trains with colmap_depth = True (the "
+                         "reference's shipped depth supervision, "
+                         "aconfig_1.txt:40-42)")
+    ap.add_argument("--n_sparse", type=int, default=200,
+                    help="sparse surface points per train view")
     args = ap.parse_args()
 
     import imageio.v2 as imageio
@@ -192,7 +288,7 @@ def main():
     train_slots = [s for s in range(n_total) if s not in test_slots]
     slot_order = test_slots + train_slots
     rows = []
-    imgs, depths, masks = [], [], []
+    imgs, depths, masks, cams = [], [], [], []
     for k in range(n_total):
         slot = slot_order[k]
         th = (slot / n_total - 0.5) * 0.9
@@ -211,6 +307,7 @@ def main():
             mask = np.zeros((H, W), np.uint8)
             mask[H // 3: H // 2, W // 3: W // 2] = 1
         imgs.append(img); depths.append(depth); masks.append(mask)
+        cams.append(c2w)
         # LLFF storage convention: [-u, r, -t] columns + hwf; inverse of the
         # loader's [r, u, -t] fix. Full-res h/w/f = factor × downsampled.
         store = np.concatenate(
@@ -222,6 +319,13 @@ def main():
 
     os.makedirs(args.out, exist_ok=True)
     np.save(os.path.join(args.out, "poses_bounds.npy"), np.stack(rows))
+
+    if args.colmap_sparse:
+        npts = write_colmap_sparse(
+            args.out, cams, depths, H, W, focal, args.factor,
+            args.n_test, args.n_train, np.random.default_rng(args.seed + 7),
+            n_sparse=args.n_sparse)
+        print(f"wrote sparse/0 COLMAP model ({npts} points)")
 
     sub = os.path.join(args.out, f"images_{args.factor}")
     for d in ("RGB_inpainted", "label", "Depth_inpainted"):
