@@ -56,7 +56,8 @@ datadir = {scene}
 dataset_type = llff
 factor = 4
 test_split_count = {n_test}
-colmap_depth = False
+colmap_depth = {colmap}
+lindisp = {lindisp}
 {field}
 basedir = {logs}
 expname = {arm}
@@ -152,6 +153,14 @@ def main():
                          "can be reused across seeds via --skip_prior)")
     ap.add_argument("--skip_prior", action="store_true",
                     help="reuse an existing prior ckpt")
+    ap.add_argument("--lindisp", action="store_true",
+                    help="disparity-linear sampling, the reference's "
+                         "shipped setting (aconfig_1.txt:45)")
+    ap.add_argument("--colmap", action="store_true",
+                    help="sparse COLMAP depth supervision, the reference's "
+                         "shipped mode (aconfig_1.txt:40-42): the scene "
+                         "emits a synthetic sparse/0 model and every arm "
+                         "trains with colmap_depth = True")
     ap.add_argument("--arms", default="s1,nog,rand,prior")
     args = ap.parse_args()
 
@@ -180,11 +189,13 @@ def main():
     py = sys.executable
 
     if not os.path.isdir(scene):
-        run([py, "tools/make_synthetic_scene.py", scene, "--task", "inpaint",
-             "--H", str(args.H), "--W", str(args.W),
-             "--n_train", str(args.n_train), "--n_test", str(args.n_test),
-             "--seed", str(args.seed)],
-            os.path.join(out, "scene.log"))
+        cmd = [py, "tools/make_synthetic_scene.py", scene, "--task",
+               "inpaint", "--H", str(args.H), "--W", str(args.W),
+               "--n_train", str(args.n_train), "--n_test", str(args.n_test),
+               "--seed", str(args.seed)]
+        if args.colmap:
+            cmd.append("--colmap_sparse")
+        run(cmd, os.path.join(out, "scene.log"))
 
     wants_prior = any(a.startswith("prior") for a in arms)
     if wants_prior and not args.skip_prior and not os.path.exists(prior):
@@ -222,7 +233,9 @@ def main():
         p = os.path.join(out, f"cfg_{arm}.txt")
         with open(p, "w") as f:
             f.write(COMMON.format(scene=scene, logs=logs, arm=arm,
-                                  field=field, n_test=args.n_test) + body)
+                                  field=field, n_test=args.n_test,
+                                  colmap=args.colmap,
+                                  lindisp=args.lindisp) + body)
         return p
 
     # ---- stage 1 (shared) ----
