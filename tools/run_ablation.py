@@ -295,7 +295,14 @@ def main():
 
     # ---- report ----
     results = {arm: last_eval(os.path.join(logs, arm)) for arm in arms}
-    with open(os.path.join(out, "ablation.json"), "w") as f:
+    # merge with prior partial runs (--arms reruns must not clobber
+    # already-recorded arms)
+    jpath = os.path.join(out, "ablation.json")
+    if os.path.exists(jpath):
+        merged = json.load(open(jpath))
+        merged.update(results)
+        results = merged
+    with open(jpath, "w") as f:
         json.dump(results, f, indent=2)
     cols = ("eval_psnr_masked", "eval_psnr_unmasked", "eval_psnr")
     print("\n| arm | " + " | ".join(c.replace("eval_", "") for c in cols)
