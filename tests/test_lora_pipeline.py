@@ -119,6 +119,19 @@ def test_sd_lora_ckpt_merges_into_guidance(tmp_path, tiny_mods, key):
     assert text_ad2 is None
     assert set(unet_ad2) == set(lora)
 
+    # wrapped {unet, text} (--train_text_encoder): both halves detected
+    text_lora = {"layers_0": {"q_proj": {"kernel": {
+        "lora_A": jnp.ones((8, 4)), "lora_B": jnp.zeros((4, 8))}}}}
+    p3 = str(tmp_path / "lora_both.safetensors")
+    save_lora(jax.device_get({"unet": lora, "text": text_lora}), p3)
+    unet_ad3, text_ad3 = split_adapters(p3)
+    assert set(unet_ad3) == set(lora) and text_ad3 is not None
+    # and the text half merges into a matching tree
+    base_text = {"layers_0": {"q_proj": {"kernel": jnp.zeros((8, 8))}}}
+    merged_text = merge_lora_strict(base_text, text_ad3, what="text",
+                                    source=p3)
+    assert merged_text["layers_0"]["q_proj"]["kernel"].shape == (8, 8)
+
     # mismatched stack fails LOUDLY, never a silent no-op
     with pytest.raises(ValueError, match="does not fit"):
         merge_lora_strict({"some": {"kernel": jnp.zeros((3, 3))}}, unet_ad,
