@@ -166,6 +166,13 @@ def merge_lora_strict(base_params: Dict, lora_params: Dict, *,
             bad.append(f"{'/'.join(tgt)} (lora_A rows {a_shape[0]} != "
                        f"base fan-in {i_flat})")
             continue
+        b_shape = lora_leaves.get(p[:-1] + ("lora_B",))
+        b_shape = None if b_shape is None else b_shape.shape
+        out_w = base_leaves[tgt][-1]
+        if b_shape is None or b_shape != (a_shape[1], out_w):
+            bad.append(f"{'/'.join(tgt)} (lora_B {b_shape} != "
+                       f"({a_shape[1]}, {out_w}))")
+            continue
         n += 1
     if bad or n == 0:
         raise ValueError(

@@ -56,6 +56,13 @@ class SDModules:
     # for Perp-Neg azimuth conditioning; None unless gcfg.perpneg.
     embeds_dir: Optional[dict] = None
     latent_size: int = LATENT_SIZE
+    # The text tower the embeds came from (module, params, tokenizer).
+    # Exposed so offline consumers (train_lora.py --train_text_encoder)
+    # train adapters against the SAME base the guidance merge will use —
+    # a fresh init there would produce deltas for a different W.
+    text_model: Any = None
+    text_params: Any = None
+    tokenizer: Any = None
 
     @property
     def latent_res(self) -> int:
@@ -175,7 +182,9 @@ def build_sd_modules(
                      vae_params=vae_params,
                      schedule=DiffusionSchedule.sd_v1(),
                      embeds_rgb=embeds_rgb, embeds_normal=embeds_normal,
-                     embeds_dir=embeds_dir, latent_size=latent_size)
+                     embeds_dir=embeds_dir, latent_size=latent_size,
+                     text_model=text_model, text_params=text_params,
+                     tokenizer=tok)
 
 
 def _resize(img, size: int, method: str = "bilinear"):

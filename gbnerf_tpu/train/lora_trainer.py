@@ -389,6 +389,9 @@ def train_lora(mods: SDModules, dataset: DreamBoothInpaintDataset,
     if text_tower is not None and tokenize is None:
         raise ValueError("text_tower requires a tokenize fn "
                          "(captions → input_ids)")
+    import inspect
+
+    _accepts_rng = "rng" in inspect.signature(encode_prompt).parameters
     init_fn, step = make_lora_train_step(
         mods, rank=rank, lr=lr, masked_loss=masked_loss, mesh=mesh,
         prior_preservation=class_dataset is not None,
@@ -432,7 +435,11 @@ def train_lora(mods: SDModules, dataset: DreamBoothInpaintDataset,
         if text_tower is not None:
             batch["input_ids"] = jnp.asarray(tokenize(captions))
         else:
-            batch["embeds"] = encode_prompt(captions)
+            # encode_prompt may be stochastic (prior-embeds sampling in
+            # train_lora.py); feeding it the CHECKPOINTED host_rng keeps
+            # resume bit-exact for that draw stream too.
+            batch["embeds"] = (encode_prompt(captions, rng=host_rng)
+                               if _accepts_rng else encode_prompt(captions))
         rng, k = jax.random.split(rng)
         lora, opt_state, m = step(lora, opt_state, batch, k)
         if i % log_every == 0:

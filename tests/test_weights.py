@@ -321,6 +321,9 @@ def test_check_weights_cli(tmp_path):
     import shutil
 
     shutil.rmtree(os.path.join(d, "vae"))
-    r2 = subprocess.run(cmd[:5], capture_output=True, text=True, cwd=root)
+    # keep --cpu: conftest's CPU forcing does not reach subprocesses, and
+    # without it the model inits dispatch to the tunneled TPU
+    cmd_neg = [c for c in cmd if c not in ("--vgg", vgg_npz)]
+    r2 = subprocess.run(cmd_neg, capture_output=True, text=True, cwd=root)
     assert r2.returncode != 0
     assert "CHECK FAILED" in r2.stdout, r2.stdout + r2.stderr

@@ -197,14 +197,35 @@ def main():
             cmd.append("--colmap_sparse")
         run(cmd, os.path.join(out, "scene.log"))
 
+    def check_meta(path, want, what):
+        """Guard checkpoint reuse: the tiny conv towers LOAD cleanly at a
+        different training resolution (no shape error), so a silent
+        res-mismatched reuse would corrupt every prior* arm."""
+        mpath = path + ".meta.json"
+        if os.path.exists(path):
+            if os.path.exists(mpath):
+                meta = json.load(open(mpath))
+                if meta != want:
+                    raise SystemExit(
+                        f"{what} at {path} was built with {meta}, but this "
+                        f"run needs {want} — delete it (or point --out at "
+                        "a fresh dir) to retrain.")
+            return True
+        return False
+
     wants_prior = any(a.startswith("prior") for a in arms)
-    if wants_prior and not args.skip_prior and not os.path.exists(prior):
+    prior_meta = {"res": args.latent}
+    if wants_prior and not check_meta(prior, prior_meta, "prior"):
+        if args.skip_prior:
+            raise SystemExit(f"--skip_prior but no prior at {prior}")
         # prior trained at the guidance resolution (the CSD path resizes
         # every render to latent²; the prior must match)
         run([py, "tools/train_tiny_prior.py", prior,
              "--res", str(args.latent),
              "--steps_unet", str(args.prior_steps)],
             os.path.join(out, "prior.log"))
+    if wants_prior and not os.path.exists(prior + ".meta.json"):
+        json.dump(prior_meta, open(prior + ".meta.json", "w"))
 
     # priorL: the reference's FULL workflow — DreamBooth-LoRA the prior on
     # the scene's (inpainted) training images with the label masks
@@ -213,8 +234,8 @@ def main():
     # here train_lora.py → guidance.sd_lora_ckpt).
     lora_ckpt = os.path.join(out, "lora",
                              f"lora_{args.lora_steps:06d}.safetensors")
-    if (any(a in ("priorL", "priorNL") for a in arms)
-            and not os.path.exists(lora_ckpt)):
+    wants_lora = any(a in ("priorL", "priorNL") for a in arms)
+    if wants_lora and not check_meta(lora_ckpt, prior_meta, "scene LoRA"):
         run([py, "train_lora.py", "--tiny",
              "--sd_prior_ckpt", prior,
              "--latent_size", str(args.latent),
@@ -227,6 +248,8 @@ def main():
              "--train_batch_size", "4",
              "--checkpointing_steps", str(args.lora_steps)],
             os.path.join(out, "lora.log"))
+    if wants_lora and not os.path.exists(lora_ckpt + ".meta.json"):
+        json.dump(prior_meta, open(lora_ckpt + ".meta.json", "w"))
 
     field = FIELD_PROD if args.production else FIELD_SMOKE
     def write_cfg(arm, body):

@@ -128,10 +128,17 @@ def main():
     sched = mods.schedule
     lr_res = args.res // 8
 
-    cache = args.out + ".domain.npz"
+    # cache keyed on every knob that shapes the pool — a stale pool from a
+    # different res/seed/n_domain must regenerate, not silently load (a
+    # smaller pool would make the in-jit jnp.take CLAMP out-of-range
+    # indices with no error)
+    cache = args.out + f".domain_r{args.res}_n{args.n_domain}_s{args.seed}.npz"
     if os.path.exists(cache):
         z = np.load(cache)
         rgb_np, nrm_np = z["rgb"], z["nrm"]
+        assert (len(rgb_np) == args.n_domain
+                and rgb_np.shape[1] == args.res), \
+            f"stale domain cache {cache}: {rgb_np.shape}"
         print(f"[prior] loaded {len(rgb_np)} cached domain images ({cache})",
               flush=True)
     else:

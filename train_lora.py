@@ -55,6 +55,13 @@ def main():
                                              and args.class_prompt):
         ap.error("--with_prior_preservation needs --class_data_dir "
                  "and --class_prompt")
+    if args.train_text_encoder and args.sd_prior_ckpt:
+        # Fail in milliseconds, not after an hours-long run: the prior
+        # ckpt bakes the prompt embeds, so stage-2 has no text tower to
+        # merge text adapters into (train/loop.py raises the same).
+        ap.error("--train_text_encoder is incompatible with "
+                 "--sd_prior_ckpt (the prior checkpoint bakes the prompt "
+                 "embeds; there is no text tower at guidance time)")
 
     from run import enable_compilation_cache
 
@@ -89,14 +96,13 @@ def main():
         mods = load_prior_ckpt(args.sd_prior_ckpt, mods)
         print(f"[lora] fine-tuning on prior {args.sd_prior_ckpt}")
 
-    # prompt encoder for caption batches
-    tcfg = kw.get("text_config") or CLIPTextConfig()
-    tok = Tokenizer(args.sd_weights_dir and f"{args.sd_weights_dir}/tokenizer",
-                    max_length=tcfg.max_length, vocab_size=tcfg.vocab_size)
-    text_model = CLIPTextEncoder(tcfg, dtype=jnp.float32)
-    tparams = jax.jit(text_model.init)(
-        jax.random.PRNGKey(7), jnp.zeros((1, tcfg.max_length), jnp.int32)
-    )["params"]
+    # Prompt encoder for caption batches: the SAME text tower (module,
+    # params, tokenizer) the guidance stack built — with sd_weights_dir
+    # the real CLIP weights are already loaded into it, so text adapters
+    # train against the base that guidance's merge will later apply them
+    # to. A fresh init here would learn deltas for a different W.
+    tok = mods.tokenizer
+    text_model, tparams = mods.text_model, mods.text_params
     text_apply = jax.jit(text_model.apply)
 
     def tokenize(captions):
@@ -107,19 +113,21 @@ def main():
         # stage-2 guidance conditions the UNet on exactly these
         # (loop.py sd_prior_ckpt flow), and the prior itself was trained
         # with conditioning sampled uniformly from the triple
-        # (tools/train_tiny_prior.py phase B). A fresh random text
-        # encoder would train the adapters against embeddings guidance
-        # never uses.
+        # (tools/train_tiny_prior.py phase B). The draw comes from the
+        # trainer's CHECKPOINTED host_rng stream (rng kwarg) so resume
+        # replays identically; the fallback rng only serves one-off calls
+        # outside the training loop.
         import numpy as np
 
         emb3 = np.asarray(mods.embeds_rgb)
-        erng = np.random.default_rng(args.seed + 3)
+        _fallback = np.random.default_rng(args.seed + 3)
 
-        def encode_prompt(captions):
-            idx = erng.integers(0, emb3.shape[0], len(captions))
+        def encode_prompt(captions, rng=None):
+            idx = (rng or _fallback).integers(0, emb3.shape[0],
+                                              len(captions))
             return jnp.asarray(emb3[idx])
     else:
-        def encode_prompt(captions):
+        def encode_prompt(captions, rng=None):
             return text_apply({"params": tparams}, tokenize(captions))
 
     resolution = (args.resolution if not args.tiny
@@ -134,8 +142,13 @@ def main():
 
         # class images from the repo's own jitted inpaint pipeline
         # (reference generates them with StableDiffusionInpaintPipeline,
-        # train_dreambooth...py:510-553)
-        embeds3 = encode_prompt(["", "", args.class_prompt])
+        # train_dreambooth...py:510-553). Under --sd_prior_ckpt the baked
+        # triple IS (null, uncond, text) in order — use it directly; the
+        # index-sampling encode_prompt would scramble the CFG slots.
+        if args.sd_prior_ckpt and not args.caption_dir:
+            embeds3 = mods.embeds_rgb
+        else:
+            embeds3 = encode_prompt(["", "", args.class_prompt])
         generate_class_images(mods, embeds3, args.class_data_dir,
                               args.num_class_images,
                               jax.random.PRNGKey(args.seed + 99),
