@@ -209,6 +209,49 @@ def test_lora_resume_bitexact(tmp_path, tiny_mods):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+def test_lora_resume_bitexact_stochastic_embeds(tmp_path, tiny_mods):
+    """The prior-embeds conditioning path (train_lora.py --sd_prior_ckpt)
+    samples embeddings stochastically; the trainer must route its
+    CHECKPOINTED host_rng into an rng-accepting encode_prompt so resume
+    replays the same draw sequence (regression: a module-level rng
+    restarted from scratch on resume)."""
+    from gbnerf_tpu.train.lora_trainer import (DreamBoothInpaintDataset,
+                                               train_lora)
+
+    _, mods = tiny_mods
+    emb3 = np.asarray(_crc_encode_prompt(["", "", "x"]))
+
+    draws = []
+
+    def encode_prompt(captions, rng=None):
+        assert rng is not None, "trainer must pass its host_rng"
+        idx = rng.integers(0, emb3.shape[0], len(captions))
+        draws.append(idx.copy())
+        return jnp.asarray(emb3[idx])
+
+    ds = DreamBoothInpaintDataset(_write_instance_dir(tmp_path),
+                                  resolution=64)
+    kw = dict(batch_size=2, rank=4, lr=1e-3, seed=3, log_every=100)
+
+    lora_a = train_lora(mods, ds, encode_prompt, steps=4,
+                        checkpointing_steps=4,
+                        output_dir=str(tmp_path / "a"), **kw)
+    draws_a, draws[:] = list(draws), []
+    train_lora(mods, ds, encode_prompt, steps=2, checkpointing_steps=2,
+               output_dir=str(tmp_path / "b"), **kw)
+    lora_b = train_lora(mods, ds, encode_prompt, steps=4,
+                        checkpointing_steps=4, resume_from="latest",
+                        output_dir=str(tmp_path / "b"), **kw)
+    draws_b = draws
+
+    # the interrupted+resumed run replays the SAME embedding-draw sequence
+    np.testing.assert_array_equal(np.concatenate(draws_a),
+                                  np.concatenate(draws_b))
+    for x, y in zip(jax.tree_util.tree_leaves(lora_a),
+                    jax.tree_util.tree_leaves(lora_b)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
 def test_lora_prior_preservation_two_term(tiny_mods, key):
     """[instance ‖ class] split: with the instance half fully
     instance-masked and prior weight 0 the loss is exactly 0; turning the
