@@ -98,16 +98,49 @@ class GuidanceConfig:
     model_path: Optional[str] = None      # LoRA checkpoint dir
     guidance_scale: float = 7.5           # RGB CFG scale
     normal_guidance_scale: float = 1.5
+    colla_guidance_scale: float = 7.5     # run.py:489; live in the colla
+    # step's 2-way branch only (sd_utils.py:691-693; CSD uses w1/w2)
     is_rgb_guidance: bool = True
     is_normal_guidance: bool = True
     is_colla_guidance: bool = False
     normal_start_iter: int = 500
     sds_loss_weight: float = 1e-4
-    # Balanced score distillation (3-way CFG) weights.
-    use_csd: bool = True
-    w1: float = 1.0
-    w2: float = 0.5
-    w3: float = 7.5
+    # Balanced/classifier score distillation (3-way CFG). Reference parity:
+    # --use_csd is store_true default False (run.py:502) and absent from
+    # aconfig_1.txt — the SHIPPED combine is 2-way SDS at the per-modality
+    # guidance scales (7.5 rgb / 1.5 normal). True switches both modalities
+    # to the 3-way combine w1·ε_text + w3·ε_null − w2·ε_uncond
+    # (sd_utils.py:493-496) with the per-modality triples below.
+    use_csd: bool = False
+    # Shared triple (reference --w1/--w2/--w3 defaults, run.py:511-513).
+    # Live reference consumers: the collaborative combine (w1/w2,
+    # sd_utils.py:690) and the is_crop RGB path (nerf/utils.py:287) —
+    # the plain RGB/normal dispatches use the per-modality triples instead.
+    w1: float = 8.5
+    w2: float = 7.5
+    w3: float = 0.5
+    # Per-modality CSD triples (reference --rgb_w1..3/--normal_w1..3
+    # defaults, run.py:503-508), threaded to the RGB and normal-map
+    # dispatches respectively (nerf/utils.py:294,310).
+    rgb_w1: float = 8.5
+    rgb_w2: float = 7.5
+    rgb_w3: float = 0.5
+    normal_w1: float = 2.5
+    normal_w2: float = 1.5
+    normal_w3: float = 0.5
+    # Delayed negative-prompt gate (reference --use_negative, run.py:515):
+    # until GLOBAL iteration i > use_negative the uncond embedding is the
+    # null ("") prompt, not the negative prompt (sd_utils.py:354-357).
+    # Default 0 = negative prompt active from iteration 1 on.
+    use_negative: int = 0
+    # SDS grad scale (reference --lambda_guidance, run.py:458). Divergence,
+    # documented: the reference passes it as grad_scale into every
+    # train-step (nerf/utils.py:284,291,301,307) but the step bodies never
+    # read the parameter (the only `grad_scale` use, sd_utils.py:44, is
+    # autograd's incoming cotangent) — the flag is dead there. We implement
+    # the evident intent (stable-dreamfusion heritage: grad *= grad_scale);
+    # at the shipped default 1.0 the two behaviors are identical.
+    lambda_guidance: float = 1.0
     t_range: Tuple[float, float] = (0.02, 0.98)
     anneal_iters: int = 20000             # t = tmax − (tmax−tmin)·√(i/20000)
     normalmap_render_factor: int = 7
@@ -232,6 +265,11 @@ class TrainConfig:
     ft_path: Optional[str] = None
     render_only: bool = False
     render_test: bool = False
+    # render_only variants: render the TRAIN poses as the path
+    # (reference run.py:928,989) / dump the σ-profile of a test ray
+    # (run.py:997-1010 → eval.render_test_ray + visualize_sigma).
+    render_train: bool = False
+    render_test_ray: bool = False
     render_factor: int = 0
     first_stage: bool = False      # stage-1 batched DS-NeRF path
 
@@ -294,6 +332,7 @@ _FLAG_MAP = {
     "model_path": ("guidance", "model_path"),
     "guidance_scale": ("guidance", "guidance_scale"),
     "normal_guidance_scale": ("guidance", "normal_guidance_scale"),
+    "colla_guidance_scale": ("guidance", "colla_guidance_scale"),
     "is_rgb_guidance": ("guidance", "is_rgb_guidance"),
     "is_normal_guidance": ("guidance", "is_normal_guidance"),
     "is_colla_guidance": ("guidance", "is_colla_guidance"),
@@ -301,6 +340,13 @@ _FLAG_MAP = {
     "sds_loss_weight": ("guidance", "sds_loss_weight"),
     "use_csd": ("guidance", "use_csd"),
     "w1": ("guidance", "w1"), "w2": ("guidance", "w2"), "w3": ("guidance", "w3"),
+    "rgb_w1": ("guidance", "rgb_w1"), "rgb_w2": ("guidance", "rgb_w2"),
+    "rgb_w3": ("guidance", "rgb_w3"),
+    "normal_w1": ("guidance", "normal_w1"),
+    "normal_w2": ("guidance", "normal_w2"),
+    "normal_w3": ("guidance", "normal_w3"),
+    "use_negative": ("guidance", "use_negative"),
+    "lambda_guidance": ("guidance", "lambda_guidance"),
     "t_range": ("guidance", "t_range"),
     "anneal_iters": ("guidance", "anneal_iters"),
     "lora_rank": ("guidance", "lora_rank"),
@@ -356,6 +402,8 @@ _FLAG_MAP = {
     "expname": ("train", "expname"), "no_reload": ("train", "no_reload"),
     "ft_path": ("train", "ft_path"), "render_only": ("train", "render_only"),
     "render_test": ("train", "render_test"),
+    "render_train": ("train", "render_train"),
+    "render_test_ray": ("train", "render_test_ray"),
     "render_factor": ("train", "render_factor"),
     "first_stage": ("train", "first_stage"),
 }

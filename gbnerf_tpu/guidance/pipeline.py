@@ -41,7 +41,8 @@ def inpaint(
     guidance_scale: float = 7.5,
     strength: float = 1.0,
     use_csd: bool = False,
-    w1: float = 1.0, w2: float = 0.5, w3: float = 7.5,
+    # reference --w1/--w2/--w3 defaults (run.py:511-513)
+    w1: float = 8.5, w2: float = 7.5, w3: float = 0.5,
     unet_params=None, vae_params=None,
 ) -> jnp.ndarray:
     """Full inpainting generation → [S, S, 3] image in [0, 1].

@@ -193,9 +193,21 @@ def _resize(img, size: int, method: str = "bilinear"):
         img, (img.shape[0], size, size) + img.shape[3:], method=method)
 
 
+def _gate_negative(embeds, gate_step, use_negative: int):
+    """Delayed negative-prompt gate (sd_utils.py:354-357, :175, :550):
+    until GLOBAL iteration i > use_negative the uncond slot is the null
+    ("") embedding — the reference passes negative_prompt=None, which
+    diffusers encodes as "". embeds is the [3, L, D] (null, uncond, text)
+    triple; gate_step is the reference's global i (NOT the normal
+    modality's anneal-shifted step)."""
+    gate = jnp.asarray(gate_step)
+    e_unc = jnp.where(gate > use_negative, embeds[1], embeds[0])
+    return jnp.stack([embeds[0], e_unc, embeds[2]])
+
+
 def sd_train_step(mods: SDModules, gcfg: GuidanceConfig, step_i, rgb, mask,
                   rng, *, embeds, guidance_scale: float,
-                  mode: Optional[str] = None,
+                  mode: Optional[str] = None, w_triple=None, gate_step=None,
                   unet_params=None, vae_params=None, masked_latents=None):
     """One score-distillation step on an image modality → scalar loss.
 
@@ -208,6 +220,13 @@ def sd_train_step(mods: SDModules, gcfg: GuidanceConfig, step_i, rgb, mask,
       mask: [H, W] inpaint mask (1 = masked).
       embeds: [3, L, D] (null, uncond, text).
       mode: "csd" | "sds" (default from gcfg.use_csd).
+      w_triple: (w1, w2, w3) for the 3-way combine — the caller threads the
+        per-modality triple (nerf/utils.py:294 rgb_w*, :310 normal_w*);
+        None falls back to the shared gcfg.w1/w2/w3 (the reference's
+        is_crop/colla fallback).
+      gate_step: global iteration for the use_negative gate; defaults to
+        step_i (callers that shift step_i for the anneal — the normal
+        modality — must pass the unshifted iteration here).
       masked_latents: optional precomputed [1, LR, LR, 4] VAE encoding of
         the masked conditioning image. For the RGB modality the composite
         equals GT outside the mask and the masked image zeroes the inside,
@@ -218,6 +237,11 @@ def sd_train_step(mods: SDModules, gcfg: GuidanceConfig, step_i, rgb, mask,
     S, LR = mods.latent_size, mods.latent_res
     sched = mods.schedule
     mode = mode or ("csd" if gcfg.use_csd else "sds")
+    if w_triple is None:
+        w_triple = (gcfg.w1, gcfg.w2, gcfg.w3)
+    embeds = _gate_negative(
+        embeds, step_i if gate_step is None else gate_step,
+        gcfg.use_negative)
     unet_params = mods.unet_params if unet_params is None else unet_params
     vae_params = mods.vae_params if vae_params is None else vae_params
     k_noise, k_enc1, k_enc2 = jax.random.split(rng, 3)
@@ -253,21 +277,26 @@ def sd_train_step(mods: SDModules, gcfg: GuidanceConfig, step_i, rgb, mask,
 
     if mode == "csd":
         e_null, e_unc, e_txt = eps[0], eps[1], eps[2]
-        pred = cfg_combine_bsd(e_null, e_unc, e_txt, gcfg.w1, gcfg.w2, gcfg.w3)
+        pred = cfg_combine_bsd(e_null, e_unc, e_txt, *w_triple)
     else:
         pred = cfg_combine_sds(eps[0], eps[1], guidance_scale)
 
     grad = score_distillation_grad(pred[None], noise, sched.sds_weight(t),
                                    mode=mode)
-    return inject_gradient(latents_t, grad, mask_latent)
+    return gcfg.lambda_guidance * inject_gradient(latents_t, grad,
+                                                  mask_latent)
 
 
 def sd_train_step_colla(mods: SDModules, gcfg: GuidanceConfig, step_i,
                         rgbs, masks, rng, *, unet_params=None,
                         vae_params=None, embeds=None):
     """Collaborative SDS over K neighbor views (train_step_colla_sds,
-    sd_utils.py:525-724): per-view 3-way combine
-    w1·ε_text + (w2−w1)·ε_null − w2·ε_uncond, losses summed.
+    sd_utils.py:525-724): under use_csd the per-view 3-way combine
+    w1·ε_text + (w2−w1)·ε_null − w2·ε_uncond (:688-690, shared w1/w2),
+    otherwise 2-way CFG at colla_guidance_scale (:691-693) with the
+    TEXTBOOK grad w·(ε̂−ε) (:697-699 — the colla step's SDS grad form
+    DIFFERS from train_step_sd's reference-exact w·ε̂−ε at :503-505).
+    Losses sum over views.
 
     Args:
       rgbs: [K, H, W, 3] rendered neighbor views in [0, 1].
@@ -276,9 +305,12 @@ def sd_train_step_colla(mods: SDModules, gcfg: GuidanceConfig, step_i,
     S, LR = mods.latent_size, mods.latent_res
     sched = mods.schedule
     K = rgbs.shape[0]
+    mode = "csd" if gcfg.use_csd else "sds"
+    nc = 3 if mode == "csd" else 2                # CFG copies (:667-671)
     unet_params = mods.unet_params if unet_params is None else unet_params
     vae_params = mods.vae_params if vae_params is None else vae_params
     embeds = mods.embeds_rgb if embeds is None else embeds
+    embeds = _gate_negative(embeds, step_i, gcfg.use_negative)  # :550
     k_noise, k_enc1, k_enc2 = jax.random.split(rng, 3)
 
     rgb512 = _resize(rgbs, S) * 2.0 - 1.0                    # [K,S,S,3]
@@ -295,22 +327,27 @@ def sd_train_step_colla(mods: SDModules, gcfg: GuidanceConfig, step_i,
     noise = jax.random.normal(k_noise, init_latents.shape)
     latents_t = sched.add_noise(init_latents, noise, t)
 
-    # [3K]: (null×K, uncond×K, text×K)
-    lat_in = jnp.concatenate([latents_t] * 3, axis=0)
+    # [nc·K]: (null×K,) uncond×K, text×K
+    lat_in = jnp.concatenate([latents_t] * nc, axis=0)
     unet_in = jnp.concatenate(
         [lat_in,
-         jnp.concatenate([mask_latent] * 3, axis=0),
-         jnp.concatenate([masked_latents] * 3, axis=0)], axis=-1)
-    emb = jnp.repeat(embeds, K, axis=0)                      # [3K,L,D]
+         jnp.concatenate([mask_latent] * nc, axis=0),
+         jnp.concatenate([masked_latents] * nc, axis=0)], axis=-1)
+    emb3 = embeds if mode == "csd" else embeds[1:]           # (u, t) 2-way
+    emb = jnp.repeat(emb3, K, axis=0)                        # [nc·K,L,D]
 
     eps = mods.unet.apply({"params": unet_params},
                           jax.lax.stop_gradient(unet_in), t, emb)
-    eps = jax.lax.stop_gradient(eps).reshape(3, K, LR, LR, 4)
-    pred = cfg_combine_colla(eps[0], eps[1], eps[2], gcfg.w1, gcfg.w2)
+    eps = jax.lax.stop_gradient(eps).reshape(nc, K, LR, LR, 4)
+    if mode == "csd":
+        pred = cfg_combine_colla(eps[0], eps[1], eps[2], gcfg.w1, gcfg.w2)
+    else:
+        pred = cfg_combine_sds(eps[0], eps[1], gcfg.colla_guidance_scale)
 
     grad = score_distillation_grad(pred, noise, sched.sds_weight(t),
-                                   mode="csd")
-    return inject_gradient(latents_t, grad, mask_latent)
+                                   mode=mode, standard_sds=True)
+    return gcfg.lambda_guidance * inject_gradient(latents_t, grad,
+                                                  mask_latent)
 
 
 def sd_train_step_perpneg(mods: SDModules, gcfg: GuidanceConfig, step_i,
@@ -375,7 +412,8 @@ def sd_train_step_perpneg(mods: SDModules, gcfg: GuidanceConfig, step_i,
 
     grad = score_distillation_grad(pred[None], noise, sched.sds_weight(t),
                                    mode="sds")
-    return inject_gradient(latents_t, grad, mask_latent)
+    return gcfg.lambda_guidance * inject_gradient(latents_t, grad,
+                                                  mask_latent)
 
 
 def precompute_masked_latents(mods: SDModules, images, masks, *,
@@ -487,9 +525,12 @@ def make_guidance_fn(mods: SDModules, gcfg: GuidanceConfig,
                                        up, vp, e_rgb, e_dir,
                                        masked_latents=masked_latents)
         elif gcfg.is_rgb_guidance:
+            # non-crop RGB dispatch: per-modality scale AND CSD triple
+            # (nerf/utils.py:289-294, rgb_w1/rgb_w2/rgb_w3)
             loss = loss + sd_train_step(
                 mods, gcfg, step_i, combin_rgb, mask, k_rgb,
                 embeds=e_rgb, guidance_scale=gcfg.guidance_scale,
+                w_triple=(gcfg.rgb_w1, gcfg.rgb_w2, gcfg.rgb_w3),
                 unet_params=up, vae_params=vp,
                 masked_latents=masked_latents)
         if gcfg.is_colla_guidance and rgbs4 is not None:
@@ -503,9 +544,14 @@ def make_guidance_fn(mods: SDModules, gcfg: GuidanceConfig,
             # i = normal_start_iter, not partway down the RGB schedule.
             n_step = jnp.maximum(
                 jnp.asarray(step_i) - gcfg.normal_start_iter, 0)
+            # normal dispatch: per-modality triple (nerf/utils.py:305-310,
+            # normal_w1/w2/w3); the use_negative gate runs on the GLOBAL
+            # iteration (sd_utils.py:175), not the anneal-shifted n_step.
             nloss = sd_train_step(
                 mods, gcfg, n_step, normal_map, mask, k_n,
                 embeds=e_nrm, guidance_scale=gcfg.normal_guidance_scale,
+                w_triple=(gcfg.normal_w1, gcfg.normal_w2, gcfg.normal_w3),
+                gate_step=step_i,
                 unet_params=up, vae_params=vp)
             loss = loss + jnp.where(step_i > gcfg.normal_start_iter, nloss, 0.0)
         return loss

@@ -372,3 +372,93 @@ def test_precompute_masked_latents_table(tiny_mods, key):
     tbl = precompute_masked_latents(mods, imgs, masks, rng=key)
     assert tbl.shape == (3, mods.latent_res, mods.latent_res, 4)
     assert np.isfinite(np.asarray(tbl)).all()
+
+
+def test_per_modality_triples_threaded(tiny_mods, key, monkeypatch):
+    """make_guidance_fn threads the PER-MODALITY CSD triples: the RGB
+    dispatch gets rgb_w1/w2/w3 and the normal dispatch normal_w1/w2/w3
+    with the GLOBAL iteration as its use_negative gate step (reference
+    nerf/utils.py:294,310 — VERDICT r3 #1)."""
+    import dataclasses as dc
+
+    import gbnerf_tpu.guidance.stable as stable
+
+    gcfg, mods = tiny_mods
+    gcfg = dc.replace(gcfg, use_csd=True)
+    seen = []
+    real = stable.sd_train_step
+
+    def spy(mods_, gcfg_, step_i, *a, **kw):
+        seen.append((kw.get("w_triple"), kw.get("gate_step")))
+        return real(mods_, gcfg_, step_i, *a, **kw)
+
+    monkeypatch.setattr(stable, "sd_train_step", spy)
+    fn = stable.make_guidance_fn(mods, gcfg)
+    H = W = 16
+    rgb = jax.random.uniform(key, (H, W, 3))
+    normal = jax.random.uniform(jax.random.fold_in(key, 1), (8, 8, 3))
+    i = gcfg.normal_start_iter + 100
+    fn(jnp.asarray(i), rgb, normal, jnp.ones((H, W)),
+       jax.random.fold_in(key, 2))
+    assert seen == [
+        ((gcfg.rgb_w1, gcfg.rgb_w2, gcfg.rgb_w3), None),
+        ((gcfg.normal_w1, gcfg.normal_w2, gcfg.normal_w3), i),
+    ], seen
+
+
+def test_use_negative_gate(tiny_mods, key):
+    """Until GLOBAL iteration i > use_negative the uncond slot is the null
+    embedding (reference sd_utils.py:354-357: negative_prompt=None →
+    encoded as \"\"); afterwards the negative prompt is live."""
+    import dataclasses as dc
+
+    from gbnerf_tpu.guidance.stable import sd_train_step
+
+    gcfg, mods = tiny_mods
+    g10 = dc.replace(gcfg, use_negative=10)
+    H = W = 16
+    rgb = jax.random.uniform(key, (H, W, 3))
+    mask = jnp.ones((H, W))
+    rng = jax.random.fold_in(key, 1)
+    E = mods.embeds_rgb                      # null != uncond (neg="bad")
+    assert not np.allclose(np.asarray(E[0]), np.asarray(E[1]))
+    E_nulled = E.at[1].set(E[0])
+
+    def step(g, embeds, i, mode):
+        return float(sd_train_step(mods, g, i, rgb, mask, rng,
+                                   embeds=embeds, guidance_scale=7.5,
+                                   mode=mode))
+
+    for mode in ("csd", "sds"):
+        # gated: i <= use_negative → behaves as if uncond were null
+        assert step(g10, E, 5, mode) == step(gcfg, E_nulled, 5, mode)
+        # past the gate: the negative prompt is active again
+        assert step(g10, E, 11, mode) == step(gcfg, E, 11, mode)
+        # and the gate actually changes the value when embeds differ
+        assert step(g10, E, 5, mode) != step(gcfg, E, 5, mode)
+
+
+def test_lambda_guidance_scales_loss_and_grad(tiny_mods, key):
+    """lambda_guidance scales the injected guidance loss (and hence the
+    latent gradient) linearly; default 1.0 = reference shipped behavior."""
+    import dataclasses as dc
+
+    from gbnerf_tpu.guidance.stable import sd_train_step
+
+    gcfg, mods = tiny_mods
+    g2 = dc.replace(gcfg, lambda_guidance=2.0)
+    H = W = 16
+    rgb = jax.random.uniform(key, (H, W, 3))
+    mask = jnp.ones((H, W))
+    rng = jax.random.fold_in(key, 1)
+
+    def loss(g, r):
+        return sd_train_step(mods, g, 500, r, mask, rng,
+                             embeds=mods.embeds_rgb, guidance_scale=7.5)
+
+    l1, l2 = float(loss(gcfg, rgb)), float(loss(g2, rgb))
+    np.testing.assert_allclose(l2, 2.0 * l1, rtol=1e-6)
+    g1 = jax.grad(lambda r: loss(gcfg, r))(rgb)
+    gg2 = jax.grad(lambda r: loss(g2, r))(rgb)
+    np.testing.assert_allclose(np.asarray(gg2), 2.0 * np.asarray(g1),
+                               rtol=1e-5, atol=1e-7)
