@@ -147,9 +147,28 @@ def render_only(cfg: Config) -> dict:
         maps = render_pose_path(render_fn, eparams, scene.poses_test,
                                 scene.hwf, render_factor=rf, block=rblock)
         dump_eval_images(maps, os.path.join(outdir, "test"))
+    if t.render_test_ray:
+        # σ/weight profile of the central ray of the first available pose
+        # (reference --render_test_ray debugging path, run.py:997-1010 →
+        # render_test_ray + visualize_sigma).
+        from ..core.rays import get_rays
+        from .eval import render_test_ray, visualize_sigma
+
+        pose = (scene.poses_test if len(scene.poses_test) else scene.poses)[0]
+        H, W, focal = scene.hwf
+        ro, rd = get_rays(int(H), int(W), focal, jnp.asarray(pose[:3, :4]))
+        prof = render_test_ray(render_fn, eparams,
+                               ro[int(H) // 2, int(W) // 2],
+                               rd[int(H) // 2, int(W) // 2],
+                               near=scene.near, far=scene.far)
+        os.makedirs(outdir, exist_ok=True)
+        np.savez(os.path.join(outdir, "test_ray.npz"), **prof)
+        visualize_sigma(prof, os.path.join(outdir, "sigma.png"))
     # --render_test renders the held-out poses instead of the spiral path
-    # (reference run.py:979-986).
-    path_poses = (scene.poses_test if t.render_test and len(scene.poses_test)
+    # (reference run.py:979-986); --render_train the TRAIN poses
+    # (run.py:928,989).
+    path_poses = (scene.poses if t.render_train else
+                  scene.poses_test if t.render_test and len(scene.poses_test)
                   else scene.render_poses)
     maps = render_pose_path(render_fn, eparams, path_poses,
                             scene.hwf, render_factor=rf, block=rblock)
