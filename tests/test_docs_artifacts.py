@@ -1,0 +1,49 @@
+"""Guard the committed ablation evidence (VERDICT r3 #3 / weak #1).
+
+Round 3's partial --arms reruns clobbered docs/ablation_r3_production.json
+down to one arm while PARITY.md kept citing the 7-arm table — the committed
+evidence no longer backed the published numbers. The harness now merges
+partial runs (run_ablation.py), the artifact is restored from git, and this
+test pins every docs ablation JSON that a PARITY/README table cites to the
+arm set the table shows, so a future clobber fails CI instead of shipping.
+"""
+import json
+import os
+
+import pytest
+
+DOCS = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    "docs")
+
+ALL7 = {"s1", "nog", "rand", "prior", "priorN", "priorL", "priorNL"}
+
+# file → the arms its published table (PARITY.md / README.md) cites.
+MANIFEST = {
+    # dense-variant production table (PARITY.md "production.json")
+    "ablation_r3_production.json": ALL7,
+    # headline sparse-COLMAP table (PARITY.md + README.md)
+    "ablation_r3_production_colmap.json": ALL7,
+    # seed-1 repeat
+    "ablation_r3_production_seed1.json": ALL7,
+    # 512² guidance-resolution scale check (3 arms as published; extended
+    # coverage lands in ablation_r4_* files)
+    "ablation_r3_production_latent512.json": {"rand", "prior", "priorN"},
+    # corruption variants
+    "ablation_r3_tint.json": {"s1", "nog", "rand", "prior", "priorN"},
+    "ablation_r3_struct_cleandepth.json":
+        {"s1", "nog", "rand", "prior", "priorN"},
+}
+
+
+@pytest.mark.parametrize("fname,arms", sorted(MANIFEST.items()))
+def test_ablation_artifact_has_cited_arms(fname, arms):
+    path = os.path.join(DOCS, fname)
+    assert os.path.exists(path), f"cited artifact missing: docs/{fname}"
+    data = json.load(open(path))
+    missing = arms - set(data)
+    assert not missing, (
+        f"docs/{fname} lost arms its published table cites: "
+        f"{sorted(missing)} (a partial --arms rerun clobbered it?)")
+    empty = [a for a in arms
+             if "eval_psnr_masked" not in data[a] or "iter" not in data[a]]
+    assert not empty, f"docs/{fname}: arms with empty/degenerate rows: {empty}"

@@ -95,15 +95,30 @@ patch_len = 32
 n_patches = 4
 lpips_weight = 0.01
 is_normal_guidance = False
-use_csd = True
-w1 = 1.0
-w2 = 0.5
-w3 = 0.5
+{combine}
 sds_loss_weight = {sds_w}
 anneal_iters = {anneal}
 sd_latent_size = {latent}
 {extra}
 """
+
+# Guidance-combine modes (VERDICT r3 #2). `csd` reproduces the round-3 arms
+# (3-way combine, the harness's historical flat triple, threaded to BOTH
+# modalities now that dispatch reads the per-modality knobs). `sds` is the
+# TRUE shipped combine — aconfig_1.txt sets no --use_csd (store_true False,
+# run.py:502), so the reference runs 2-way SDS at the per-modality scales
+# 7.5 rgb / 1.5 normal (config defaults). `csd_ref` is CSD with the
+# reference's own per-modality triples (run.py:503-508 defaults).
+COMBINE = {
+    "csd": ("use_csd = True\n"
+            "rgb_w1 = 1.0\nrgb_w2 = 0.5\nrgb_w3 = 0.5\n"
+            "normal_w1 = 1.0\nnormal_w2 = 0.5\nnormal_w3 = 0.5"),
+    "sds": "use_csd = False",
+    "csd_ref": "use_csd = True",   # per-modality reference defaults apply
+}
+# arm/log/JSON-key suffix per mode (legacy csd keeps the round-3 bare names
+# so --arms reruns merge into the same rows)
+COMBINE_TAG = {"csd": "", "sds": "-sds", "csd_ref": "-csdref"}
 
 
 def run(cmd, log_path):
@@ -162,6 +177,16 @@ def main():
                          "emits a synthetic sparse/0 model and every arm "
                          "trains with colmap_depth = True")
     ap.add_argument("--arms", default="s1,nog,rand,prior")
+    ap.add_argument("--combine", default="csd", choices=sorted(COMBINE),
+                    help="guidance combine mode (see COMBINE): csd = the "
+                         "round-3 3-way arms; sds = the reference's TRUE "
+                         "shipped 2-way combine; csd_ref = 3-way with the "
+                         "reference's per-modality triples")
+    ap.add_argument("--check", action="store_true",
+                    help="write + validate every arm config (effective "
+                         "guidance knobs, arm-vs-config consistency) and "
+                         "exit WITHOUT training — run this before burning "
+                         "TPU-hours on a wrong-mode arm")
     args = ap.parse_args()
 
     prod = args.production
@@ -188,7 +213,7 @@ def main():
     arms = args.arms.split(",")
     py = sys.executable
 
-    if not os.path.isdir(scene):
+    if not os.path.isdir(scene) and not args.check:
         cmd = [py, "tools/make_synthetic_scene.py", scene, "--task",
                "inpaint", "--H", str(args.H), "--W", str(args.W),
                "--n_train", str(args.n_train), "--n_test", str(args.n_test),
@@ -215,7 +240,7 @@ def main():
 
     wants_prior = any(a.startswith("prior") for a in arms)
     prior_meta = {"res": args.latent}
-    if wants_prior and not check_meta(prior, prior_meta, "prior"):
+    if wants_prior and not args.check and not check_meta(prior, prior_meta, "prior"):
         if args.skip_prior:
             raise SystemExit(f"--skip_prior but no prior at {prior}")
         # prior trained at the guidance resolution (the CSD path resizes
@@ -224,7 +249,7 @@ def main():
              "--res", str(args.latent),
              "--steps_unet", str(args.prior_steps)],
             os.path.join(out, "prior.log"))
-    if wants_prior and not os.path.exists(prior + ".meta.json"):
+    if wants_prior and not args.check and not os.path.exists(prior + ".meta.json"):
         json.dump(prior_meta, open(prior + ".meta.json", "w"))
 
     # priorL: the reference's FULL workflow — DreamBooth-LoRA the prior on
@@ -235,7 +260,7 @@ def main():
     lora_ckpt = os.path.join(out, "lora",
                              f"lora_{args.lora_steps:06d}.safetensors")
     wants_lora = any(a in ("priorL", "priorNL") for a in arms)
-    if wants_lora and not check_meta(lora_ckpt, prior_meta, "scene LoRA"):
+    if wants_lora and not args.check and not check_meta(lora_ckpt, prior_meta, "scene LoRA"):
         run([py, "train_lora.py", "--tiny",
              "--sd_prior_ckpt", prior,
              "--latent_size", str(args.latent),
@@ -248,7 +273,7 @@ def main():
              "--train_batch_size", "4",
              "--checkpointing_steps", str(args.lora_steps)],
             os.path.join(out, "lora.log"))
-    if wants_lora and not os.path.exists(lora_ckpt + ".meta.json"):
+    if wants_lora and not args.check and not os.path.exists(lora_ckpt + ".meta.json"):
         json.dump(prior_meta, open(lora_ckpt + ".meta.json", "w"))
 
     field = FIELD_PROD if args.production else FIELD_SMOKE
@@ -261,19 +286,21 @@ def main():
                                   lindisp=args.lindisp) + body)
         return p
 
-    # ---- stage 1 (shared) ----
+    # ---- configs (stage 1 + every requested stage-2 arm) ----
     s1dir = os.path.join(logs, "s1")
-    if not os.path.isdir(os.path.join(s1dir, "ckpt")):
-        cfg = write_cfg("s1", f"first_stage = True\n"
-                              f"N_iters = {args.iters1}\n"
-                              f"i_evaluate = {args.iters1}\n")
-        run([py, "run.py", "--config", cfg], os.path.join(out, "s1.log"))
-
-    # ---- stage 2 arms ----
+    s1cfg = write_cfg("s1", f"first_stage = True\n"
+                            f"N_iters = {args.iters1}\n"
+                            f"i_evaluate = {args.iters1}\n")
     extra = ("cache_masked_latents = True" if args.production else "")
-    stage2 = STAGE2.format(sds_w=args.sds_w, anneal=args.anneal,
-                           latent=args.latent, extra=extra)
+    stage2 = STAGE2.format(combine=COMBINE[args.combine], sds_w=args.sds_w,
+                           anneal=args.anneal, latent=args.latent,
+                           extra=extra)
     n2 = args.iters1 + args.iters2
+    tag = COMBINE_TAG[args.combine]
+
+    def arm_name(arm):
+        # s1/nog never dispatch guidance: their rows are combine-independent
+        return arm if arm in ("s1", "nog") else arm + tag
     arm_cfgs = {
         "nog": "is_rgb_guidance = False\n",
         "rand": "is_rgb_guidance = True\nsd_tiny = True\n",
@@ -302,22 +329,39 @@ def main():
                     f"sd_prior_ckpt = {prior}\n"
                     f"sd_lora_ckpt = {lora_ckpt}\n"),
     }
+    cfg_paths = {"s1": s1cfg}
+    for arm in arms:
+        if arm != "s1":
+            cfg_paths[arm] = write_cfg(
+                arm_name(arm), stage2 + arm_cfgs[arm]
+                + f"N_iters = {n2}\ni_evaluate = {n2}\n")
+
+    if args.check:
+        check_arm_configs(args, arms, arm_name, cfg_paths, prior, lora_ckpt)
+        return
+
+    # ---- stage 1 (shared) ----
+    if not os.path.isdir(os.path.join(s1dir, "ckpt")):
+        run([py, "run.py", "--config", s1cfg], os.path.join(out, "s1.log"))
+
+    # ---- stage 2 arms ----
     for arm in arms:
         if arm == "s1":
             continue
-        expdir = os.path.join(logs, arm)
+        name = arm_name(arm)
+        expdir = os.path.join(logs, name)
         if os.path.isdir(os.path.join(expdir, "ckpt")):
-            print(f"[ablation] {arm}: already run, skipping")
+            print(f"[ablation] {name}: already run, skipping")
             continue
         os.makedirs(expdir, exist_ok=True)
         shutil.copytree(os.path.join(s1dir, "ckpt"),
                         os.path.join(expdir, "ckpt"))
-        cfg = write_cfg(arm, stage2 + arm_cfgs[arm]
-                        + f"N_iters = {n2}\ni_evaluate = {n2}\n")
-        run([py, "run.py", "--config", cfg], os.path.join(out, f"{arm}.log"))
+        run([py, "run.py", "--config", cfg_paths[arm]],
+            os.path.join(out, f"{name}.log"))
 
     # ---- report ----
-    results = {arm: last_eval(os.path.join(logs, arm)) for arm in arms}
+    results = {arm_name(a): last_eval(os.path.join(logs, arm_name(a)))
+               for a in arms}
     # merge with prior partial runs (--arms reruns must not clobber
     # already-recorded arms)
     jpath = os.path.join(out, "ablation.json")
@@ -332,10 +376,78 @@ def main():
           + " |")
     print("|---" * (len(cols) + 1) + "|")
     for arm in arms:
-        r = results[arm]
-        print(f"| {arm} | " + " | ".join(
+        r = results[arm_name(arm)]
+        print(f"| {arm_name(arm)} | " + " | ".join(
             f"{r[c]:.2f}" if c in r else "—" for c in cols) + " |")
     print(f"\nwrote {os.path.join(out, 'ablation.json')}")
+
+
+def check_arm_configs(args, arms, arm_name, cfg_paths, prior, lora_ckpt):
+    """--check: load every written arm config through the REAL parser and
+    assert arm-vs-config consistency, then exit without training (VERDICT
+    r3 #8 — a wrong-mode arm burns hours of TPU before anyone notices)."""
+    sys.path.insert(0, ROOT)
+    from gbnerf_tpu.config import load_reference_config
+
+    ref_rgb, ref_nrm = (8.5, 7.5, 0.5), (2.5, 1.5, 0.5)
+    legacy = (1.0, 0.5, 0.5)
+    rows, errs = [], []
+    for arm in arms:
+        cfg = load_reference_config(cfg_paths[arm])
+        g, name = cfg.guidance, arm_name(arm)
+
+        def need(cond, what):
+            if not cond:
+                errs.append(f"{name}: {what}")
+
+        if arm == "s1":
+            need(cfg.train.first_stage, "must be first_stage")
+        else:
+            need(not cfg.train.first_stage, "must be stage-2")
+            need(cfg.train.N_iters == args.iters1 + args.iters2, "N_iters")
+            need(g.sds_loss_weight == args.sds_w, "sds_loss_weight")
+            need(g.sd_latent_size == args.latent, "sd_latent_size")
+        need(cfg.render.lindisp == args.lindisp, "lindisp")
+        need(cfg.data.colmap_depth == args.colmap, "colmap_depth")
+        if arm == "nog":
+            need(not g.is_rgb_guidance, "nog must not dispatch guidance")
+        elif arm != "s1":
+            need(g.is_rgb_guidance, "guidance arm without is_rgb_guidance")
+            need(g.use_csd == (args.combine != "sds"), "use_csd vs combine")
+            trip = ((g.rgb_w1, g.rgb_w2, g.rgb_w3),
+                    (g.normal_w1, g.normal_w2, g.normal_w3))
+            if args.combine == "csd":
+                need(trip == (legacy, legacy), "legacy csd triples")
+            elif args.combine == "csd_ref":
+                need(trip == (ref_rgb, ref_nrm), "reference csd triples")
+            if arm.startswith("prior"):
+                need(g.sd_prior_ckpt == prior, "prior ckpt")
+            if arm in ("priorL", "priorNL"):
+                need(g.sd_lora_ckpt == lora_ckpt, "lora ckpt")
+            need(g.is_normal_guidance == (arm in ("priorN", "priorNL")),
+                 "is_normal_guidance vs arm")
+            if g.is_normal_guidance:
+                need(g.normal_start_iter == args.iters1,
+                     "normal_start_iter must be stage-2 entry")
+        mode = ("s1" if arm == "s1" else
+                "off" if not g.is_rgb_guidance else
+                "csd" if g.use_csd else "sds")
+        rows.append((name, mode,
+                     f"{g.rgb_w1}/{g.rgb_w2}/{g.rgb_w3}" if g.use_csd
+                     else f"scale {g.guidance_scale}",
+                     (f"{g.normal_w1}/{g.normal_w2}/{g.normal_w3}"
+                      if g.use_csd else f"scale {g.normal_guidance_scale}")
+                     if g.is_normal_guidance else "—",
+                     "L" if g.sd_lora_ckpt else "",
+                     cfg.train.N_iters))
+    print("| arm | combine | rgb | normal | lora | N_iters |")
+    print("|---" * 6 + "|")
+    for r in rows:
+        print("| " + " | ".join(str(x) for x in r) + " |")
+    if errs:
+        raise SystemExit("[check] FAILED:\n  " + "\n  ".join(errs))
+    print(f"[check] OK — {len(arms)} arm configs consistent "
+          f"(combine={args.combine}); no training was run.")
 
 
 if __name__ == "__main__":
