@@ -32,6 +32,10 @@ MANIFEST = {
     "ablation_r3_tint.json": {"s1", "nog", "rand", "prior", "priorN"},
     "ablation_r3_struct_cleandepth.json":
         {"s1", "nog", "rand", "prior", "priorN"},
+    # round-4 shipped-combine table (PARITY.md "Round 4: shipped-combine
+    # arms"): TRUE shipped 2-way SDS + reference per-modality CSD triples
+    "ablation_r4_shipped_combine.json":
+        {"s1", "nog", "prior-sds", "priorNL-sds", "priorNL-csdref"},
 }
 
 
