@@ -96,8 +96,13 @@ class GuidanceConfig:
     guidance: Tuple[str, ...] = ("SD",)
     sd_version: str = "1.5"
     model_path: Optional[str] = None      # LoRA checkpoint dir
-    guidance_scale: float = 7.5           # RGB CFG scale
-    normal_guidance_scale: float = 1.5
+    guidance_scale: float = 7.5           # RGB CFG scale (the reference's
+    # LIVE rgb_guidance_scale, run.py:468; its separate --guidance_scale
+    # flag, default 75, feeds only the dead-shipped is_crop branch,
+    # nerf/utils.py:283, and is on the documented-ignore allowlist)
+    # Reference parser default 7.5 (run.py:464); aconfig_1.txt:20 ships an
+    # EXPLICIT 1.5 override, so loading the shipped config still runs 1.5.
+    normal_guidance_scale: float = 7.5
     colla_guidance_scale: float = 7.5     # run.py:489; live in the colla
     # step's 2-way branch only (sd_utils.py:691-693; CSD uses w1/w2)
     is_rgb_guidance: bool = True
@@ -330,7 +335,11 @@ _FLAG_MAP = {
     # guidance
     "guidance": ("guidance", "guidance"), "sd_version": ("guidance", "sd_version"),
     "model_path": ("guidance", "model_path"),
-    "guidance_scale": ("guidance", "guidance_scale"),
+    # NOTE: the reference's --guidance_scale (default 75, run.py:459) is
+    # NOT mapped — its only consumer is the dead-shipped is_crop branch
+    # (nerf/utils.py:283); mapping it onto the live RGB scale would let a
+    # config meant for that branch silently 10x the SDS scale. The live
+    # RGB knob is rgb_guidance_scale below (allowlisted in test_config.py).
     "normal_guidance_scale": ("guidance", "normal_guidance_scale"),
     "colla_guidance_scale": ("guidance", "colla_guidance_scale"),
     "is_rgb_guidance": ("guidance", "is_rgb_guidance"),

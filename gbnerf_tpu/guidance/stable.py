@@ -199,9 +199,11 @@ def _gate_negative(embeds, gate_step, use_negative: int):
     ("") embedding — the reference passes negative_prompt=None, which
     diffusers encodes as "". embeds is the [3, L, D] (null, uncond, text)
     triple; gate_step is the reference's global i (NOT the normal
-    modality's anneal-shifted step)."""
+    modality's anneal-shifted step). Our step counter is 0-based while the
+    reference's i is 1-based (run.py:1230 start = start + 1), so the
+    reference's `i > use_negative` is `step + 1 > use_negative` here."""
     gate = jnp.asarray(gate_step)
-    e_unc = jnp.where(gate > use_negative, embeds[1], embeds[0])
+    e_unc = jnp.where(gate + 1 > use_negative, embeds[1], embeds[0])
     return jnp.stack([embeds[0], e_unc, embeds[2]])
 
 

@@ -76,34 +76,69 @@ def render_path_projection(render_fn, params, poses, hwf, *,
     return z_vals, weights, c2ws, K
 
 
-def render_test_ray(render_fn, params, ray_o, ray_d, *, near: float,
-                    far: float, n_samples: int = 256):
-    """σ/weight profile along a single ray (reference render_test_ray +
-    visualize_sigma debugging path, run.py:1972, run_nerf_helpers.py:481)."""
+def render_test_ray(make_field_fn, params, ray_o, ray_d, *, near: float,
+                    far: float, n_samples: int, ndc=None):
+    """σ/weight profile along a single ray at ``n_samples`` UNIFORM
+    z-values (reference render_test_ray, run.py:1972-2000: linspace
+    near→far — NOT the render pipeline's hierarchical samples — with the
+    FINE network queried directly at those points and σ = relu(raw σ);
+    visualize_sigma plots σ vs z, run_nerf_helpers.py:481-486).
+
+    Args:
+      make_field_fn: ``params → FieldFn`` factory (the field params thread
+        as jit ARGUMENTS, never closure constants — design invariant).
+      ndc: optional (H, W, focal) — the reference maps the ray through
+        ndc_rays and marches the [0, 1] NDC range for forward-facing
+        scenes (run.py:1981-1983).
+    """
+    import jax
     import jax.numpy as jnp
 
-    out = render_fn(params, ray_o[None], ray_d[None], None, train=False)
+    from ..core.render import raw2outputs
+
+    @jax.jit
+    def march(params, ray_o, ray_d):
+        viewdirs = (ray_d / jnp.linalg.norm(ray_d))[None]     # [1, 3]
+        ro, rd = ray_o[None], ray_d[None]
+        lo, hi = near, far
+        if ndc is not None:
+            from ..core.rays import ndc_rays
+
+            H, W, focal = ndc
+            ro, rd = ndc_rays(int(H), int(W), float(focal), 1.0, ro, rd)
+            lo, hi = 0.0, 1.0
+        t = jnp.linspace(0.0, 1.0, n_samples, dtype=ro.dtype)
+        z_vals = (lo * (1.0 - t) + hi * t)[None]              # [1, S]
+        pts = ro[:, None, :] + rd[:, None, :] * z_vals[..., None]
+        raw = make_field_fn(params)(pts, viewdirs)
+        rgb, _, _, weights, depth, alpha = raw2outputs(raw, z_vals, rd)
+        return (z_vals, jax.nn.relu(raw[..., 3]), weights, alpha, depth,
+                rgb)
+
+    z_vals, sigma, weights, alpha, depth, rgb = march(params, ray_o, ray_d)
     return {
-        "z_vals": np.asarray(out.z_vals[0]),
-        "weights": np.asarray(out.weights[0]),
-        "alpha": np.asarray(out.alpha[0]),
-        "depth": float(out.depth[0]),
-        "rgb": np.asarray(out.rgb[0]),
+        "z_vals": np.asarray(z_vals[0]),
+        "sigma": np.asarray(sigma[0]),
+        "weights": np.asarray(weights[0]),
+        "alpha": np.asarray(alpha[0]),
+        "depth": float(depth[0]),
+        "rgb": np.asarray(rgb[0]),
     }
 
 
 def visualize_sigma(profile: dict, path: str) -> None:
-    """Plot the per-sample weight profile of one ray to a PNG."""
+    """Plot the per-sample σ profile of one ray to a PNG (reference
+    visualize_sigma, run_nerf_helpers.py:481-486: σ vs z_vals)."""
     import matplotlib
 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
     fig, ax = plt.subplots(figsize=(6, 3))
-    ax.plot(profile["z_vals"], profile["weights"])
+    ax.plot(profile["z_vals"], profile["sigma"])
     ax.axvline(profile["depth"], color="r", ls="--", label="depth")
-    ax.set_xlabel("z")
-    ax.set_ylabel("weight")
+    ax.set_xlabel("z_vals")
+    ax.set_ylabel("sigma")
     ax.legend()
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     fig.savefig(path, dpi=100, bbox_inches="tight")

@@ -151,16 +151,32 @@ def render_only(cfg: Config) -> dict:
         # σ/weight profile of the central ray of the first available pose
         # (reference --render_test_ray debugging path, run.py:997-1010 →
         # render_test_ray + visualize_sigma).
+        from ..core.fields import make_field_fn, make_frozen_sigma_field_fn
         from ..core.rays import get_rays
         from .eval import render_test_ray, visualize_sigma
 
         pose = (scene.poses_test if len(scene.poses_test) else scene.poses)[0]
         H, W, focal = scene.hwf
         ro, rd = get_rays(int(H), int(W), focal, jnp.asarray(pose[:3, :4]))
-        prof = render_test_ray(render_fn, eparams,
-                               ro[int(H) // 2, int(W) // 2],
-                               rd[int(H) // 2, int(W) // 2],
-                               near=scene.near, far=scene.far)
+
+        # the reference marches the FINE network (run.py:1004
+        # network=render_kwargs_test['network_fine']) at render-kwargs
+        # N_samples, through ndc_rays when forward-facing
+        def field_factory(params):
+            fn = make_field_fn(fine if fine is not None else coarse,
+                               params["fine" if fine is not None
+                                      else "coarse"])
+            if alpha is not None:
+                fn = make_frozen_sigma_field_fn(
+                    fn, make_field_fn(alpha[0], params["alpha"]))
+            return fn
+
+        prof = render_test_ray(
+            field_factory, eparams,
+            ro[int(H) // 2, int(W) // 2], rd[int(H) // 2, int(W) // 2],
+            near=scene.near, far=scene.far,
+            n_samples=cfg.render.N_samples,
+            ndc=None if cfg.render.no_ndc else scene.hwf)
         os.makedirs(outdir, exist_ok=True)
         np.savez(os.path.join(outdir, "test_ray.npz"), **prof)
         visualize_sigma(prof, os.path.join(outdir, "sigma.png"))

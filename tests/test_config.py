@@ -139,6 +139,12 @@ REF_RUNPY = "/root/reference/run.py"
 # different (documented) knob/design; torch-rt = CUDA/torch-runtime knob
 # with no TPU analog (compute_dtype / jit cover the concern).
 REF_FLAGS_IGNORED = {
+    "guidance_scale": "dead-shipped: default 75 (run.py:459), consumed "
+                      "only by the is_crop RGB branch (nerf/utils.py:283) "
+                      "— shipped is_crop=False (allowlisted divergence "
+                      "below). The LIVE RGB scale is rgb_guidance_scale "
+                      "(mapped); aliasing this flag onto it would let a "
+                      "crop-branch config silently 10x the SDS scale.",
     # --- dead: zero `.flag` consumers anywhere in run.py + DS_NeRF/ ---
     "adam2_RMS": "dead (no consumer)",
     "adam2_SGD": "dead (no consumer)",

@@ -1497,8 +1497,10 @@ def test_csd_combine_weight_surface_golden(rng):
     assert (g.w1, g.w2, g.w3) == (8.5, 7.5, 0.5)
     assert g.use_negative == 0           # run.py:515
     assert g.lambda_guidance == 1.0      # run.py:458
-    assert g.guidance_scale == 7.5       # aconfig_1.txt:23 rgb scale
-    assert g.normal_guidance_scale == 1.5  # aconfig_1.txt:20
+    assert g.guidance_scale == 7.5       # --rgb_guidance_scale (run.py:468)
+    # parser default (run.py:464); aconfig_1.txt:20 sets an EXPLICIT 1.5,
+    # so shipped-config loads still run 1.5 (test_config pins that side)
+    assert g.normal_guidance_scale == 7.5
 
     noise_pred = torch.from_numpy(
         rng.standard_normal((3, 4, 8, 8)).astype(np.float32))

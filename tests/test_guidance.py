@@ -430,12 +430,14 @@ def test_use_negative_gate(tiny_mods, key):
                                    mode=mode))
 
     for mode in ("csd", "sds"):
-        # gated: i <= use_negative → behaves as if uncond were null
-        assert step(g10, E, 5, mode) == step(gcfg, E_nulled, 5, mode)
-        # past the gate: the negative prompt is active again
-        assert step(g10, E, 11, mode) == step(gcfg, E, 11, mode)
+        # gated: reference i = step + 1 <= use_negative (run.py:1230 makes
+        # i 1-based) → behaves as if uncond were null. Boundary: our step 9
+        # is reference i=10, the last gated iteration at use_negative=10.
+        assert step(g10, E, 9, mode) == step(gcfg, E_nulled, 9, mode)
+        # past the gate (step 10 = reference i=11 > 10): negative is live
+        assert step(g10, E, 10, mode) == step(gcfg, E, 10, mode)
         # and the gate actually changes the value when embeds differ
-        assert step(g10, E, 5, mode) != step(gcfg, E, 5, mode)
+        assert step(g10, E, 9, mode) != step(gcfg, E, 9, mode)
 
 
 def test_lambda_guidance_scales_loss_and_grad(tiny_mods, key):

@@ -107,3 +107,35 @@ def test_render_rays_blocked_matches_direct(key):
     direct = render({"o": ro, "d": rd})
     blocked = render_rays_blocked(render, {"o": ro, "d": rd}, block_size=16)
     np.testing.assert_allclose(np.asarray(direct), np.asarray(blocked), atol=1e-5)
+
+
+def test_render_test_ray_uniform_march():
+    """render_test_ray marches n_samples UNIFORM z-values (reference
+    render_test_ray, run.py:1990-1995: linspace near→far — not the render
+    pipeline's hierarchical samples), queries the field at exactly those
+    points, and returns relu'd σ (run_nerf_helpers.py:475)."""
+    from gbnerf_tpu.train.eval import render_test_ray
+
+    near, far, S = 2.0, 6.0, 17
+
+    def factory(params):
+        # analytic field: σ(x) = x − 4 (negative before z=4 → relu clips),
+        # rgb raw 0; ray_o = 0, ray_d = +x̂ makes pts.x ≡ z
+        def field_fn(pts, viewdirs, sigma_only=False):
+            rgb = jnp.zeros(pts.shape[:-1] + (3,))
+            return jnp.concatenate([rgb, pts[..., :1] - 4.0], -1)
+
+        return field_fn
+
+    prof = render_test_ray(factory, {}, jnp.zeros(3),
+                           jnp.array([1.0, 0.0, 0.0]),
+                           near=near, far=far, n_samples=S)
+    np.testing.assert_allclose(prof["z_vals"], np.linspace(near, far, S),
+                               rtol=1e-6)
+    np.testing.assert_allclose(prof["sigma"],
+                               np.maximum(prof["z_vals"] - 4.0, 0.0),
+                               atol=1e-5)
+    assert prof["weights"].shape == (S,) and prof["rgb"].shape == (3,)
+    # mass sits past z=4 where σ turns on
+    assert near < 4.0 < prof["depth"] < far
+    assert np.isfinite(prof["weights"]).all()

@@ -113,7 +113,9 @@ COMBINE = {
     "csd": ("use_csd = True\n"
             "rgb_w1 = 1.0\nrgb_w2 = 0.5\nrgb_w3 = 0.5\n"
             "normal_w1 = 1.0\nnormal_w2 = 0.5\nnormal_w3 = 0.5"),
-    "sds": "use_csd = False",
+    # sds pins the normal scale the SHIPPED config sets explicitly
+    # (aconfig_1.txt:20 = 1.5; the parser default is 7.5, run.py:464)
+    "sds": "use_csd = False\nnormal_guidance_scale = 1.5",
     "csd_ref": "use_csd = True",   # per-modality reference defaults apply
 }
 # arm/log/JSON-key suffix per mode (legacy csd keeps the round-3 bare names
@@ -248,7 +250,8 @@ def main():
         run([py, "tools/train_tiny_prior.py", prior,
              "--res", str(args.latent),
              "--steps_unet", str(args.prior_steps)],
-            os.path.join(out, "prior.log"))
+            # NOT prior.log — the `prior` ARM's run log takes that name
+            os.path.join(out, "prior_train.log"))
     if wants_prior and not args.check and not os.path.exists(prior + ".meta.json"):
         json.dump(prior_meta, open(prior + ".meta.json", "w"))
 
@@ -414,6 +417,9 @@ def check_arm_configs(args, arms, arm_name, cfg_paths, prior, lora_ckpt):
         elif arm != "s1":
             need(g.is_rgb_guidance, "guidance arm without is_rgb_guidance")
             need(g.use_csd == (args.combine != "sds"), "use_csd vs combine")
+            if args.combine == "sds":
+                need(g.normal_guidance_scale == 1.5,
+                     "shipped normal scale (aconfig_1.txt:20)")
             trip = ((g.rgb_w1, g.rgb_w2, g.rgb_w3),
                     (g.normal_w1, g.normal_w2, g.normal_w3))
             if args.combine == "csd":
