@@ -36,6 +36,9 @@ MANIFEST = {
     # arms"): TRUE shipped 2-way SDS + reference per-modality CSD triples
     "ablation_r4_shipped_combine.json":
         {"s1", "nog", "prior-sds", "priorNL-sds", "priorNL-csdref"},
+    # round-4 lindisp=True headline variant (the shipped sampling mode,
+    # aconfig_1.txt:45 — VERDICT r3 #5)
+    "ablation_r4_lindisp.json": {"s1", "nog", "prior", "priorNL"},
 }
 
 
