@@ -100,12 +100,20 @@ def main():
     ap.add_argument("--n_domain", type=int, default=384)
     ap.add_argument("--steps_vae", type=int, default=1500)
     ap.add_argument("--steps_unet", type=int, default=4000)
-    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--batch", type=int, default=None,
+                    help="default scales with --res to a constant pixel "
+                         "footprint: 16 up to 256², 4 at 512² (batch 16 at "
+                         "512² OOMs the 16 GB v5e HBM in the VAE fwd+bwd)")
     ap.add_argument("--lr", type=float, default=2e-3)
     ap.add_argument("--chunk", type=int, default=50)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--prompt", default="a photo of a sphere")
     args = ap.parse_args()
+    if args.batch is None:
+        # constant-pixel-footprint default: 16·256² pixels per batch
+        args.batch = max(4, int(16 * (256 / max(args.res, 1)) ** 2)) \
+            if args.res > 256 else 16
+        print(f"[prior] batch={args.batch} (auto for res {args.res})")
 
     import jax
     import jax.numpy as jnp
