@@ -31,7 +31,14 @@ import pytest  # noqa: E402
 # subsystem, sized to finish in <15 min total on the 1-CPU host — a
 # spot-checkable everything-at-once run when the full ~60 min slow sweep
 # doesn't fit a review window. Selection is centralized here (not scattered
-# decorators) so the coverage story is auditable in one place.
+# decorators) so the coverage story is auditable in one place. Sized from
+# the round-4 shard-sweep `--durations` data: judge subset ≈ 743 s call +
+# setup on a loaded host (~10 min idle), fast tier ≈ 3:31-4:54. The
+# heavyweights deliberately NOT in the tier (still slow-only): LoRA
+# bit-exact resume (589 s — `sd_lora_ckpt` merge covers the workflow's
+# save→load→guidance spine), stage-2 cached-latents e2e (229 s — cache
+# EXACTNESS is in via test_masked_latents_cache_exact + a real stage-2
+# step via test_stage2_step_runs), check_weights CLI (394 s).
 JUDGE_TESTS = {
     # SPMD/mesh (shard A): the core sharded≡unsharded equality + the TP
     # guidance variant — the two claims MULTICHIP dryruns don't prove
@@ -43,13 +50,13 @@ JUDGE_TESTS = {
     "tests/test_guidance.py::test_masked_latents_cache_exact",
     # weights on-ramp (shard B): every real-SD key converts + loads
     "tests/test_weights.py::test_fake_diffusers_ckpt_full_coverage[True]",
-    # LoRA workflow (shard C): bit-exact resume + adapters-into-guidance
-    "tests/test_lora_pipeline.py::test_lora_resume_bitexact",
+    # LoRA workflow (shard C): this repo's adapters trained→saved→merged
+    # into the guidance stack (the reference --model_path workflow spine)
     "tests/test_lora_pipeline.py::test_sd_lora_ckpt_merges_into_guidance",
-    # training driver (shard D): stage-1 end-to-end + stage-2 with the
-    # production cache + preemption save/resume
+    # training driver (shard D): stage-1 end-to-end + a real stage-2 step
+    # + preemption save/resume
     "tests/test_train.py::test_stage1_loss_decreases",
-    "tests/test_train.py::test_stage2_cached_masked_latents_end_to_end",
+    "tests/test_train.py::test_stage2_step_runs",
     "tests/test_train.py::test_preemption_graceful_checkpoint_and_resume",
     # flagship CP field (shard D): the production field actually fits
     "tests/test_cp_field.py::test_cp_field_can_overfit_a_density",
