@@ -44,6 +44,23 @@ def parse_overrides(cfg, pairs):
     })
 
 
+def force_platform():
+    """`GBNERF_PLATFORM=cpu python run.py ...` pins the JAX backend.
+
+    The axon TPU plugin in this image registers itself regardless of the
+    standard JAX_PLATFORMS env var, so a config update is the only way to
+    run the CLI on host CPU — e.g. to drive the full SPMD orchestration on
+    a virtual device mesh (XLA_FLAGS=--xla_force_host_platform_device_count=8)
+    without TPU hardware. See docs/SPMD_CLI.md."""
+    import os
+
+    plat = os.environ.get("GBNERF_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
+
 def enable_compilation_cache():
     """Persistent XLA compilation cache: TPU compiles through the tunneled
     runtime take 1-5 min (10+ for the SD stack); caching them on disk makes
@@ -88,6 +105,7 @@ def main(argv=None):
     if not cfg.data.datadir or not os.path.isdir(cfg.data.datadir):
         raise SystemExit(f"datadir does not exist: {cfg.data.datadir!r}")
 
+    force_platform()
     enable_compilation_cache()
 
     from gbnerf_tpu.train.loop import train, render_only

@@ -80,6 +80,167 @@ def render_scene(H, W, focal, c2w, spheres=(MAIN_SPHERE,), *,
     return img.astype(np.float32), depth, hit_id
 
 
+# ---- hard scene family (round 5, VERDICT r4 #6) -------------------------
+# Textured high-frequency world + NON-CONVEX occluder: the sphere-family
+# scenes hand stage-1 a posterior-mean crutch (smooth background ⇒ the
+# multi-view average nearly recovers it). This family removes that crutch:
+# the background is a procedurally textured backdrop+ground (world-space
+# value noise + stripes + checker — view-consistent but high-frequency, so
+# a blurry hole-fill costs PSNR), and the main object is a tilted TORUS
+# (the background stays visible through the hole; occlusion boundaries are
+# doubly-curved). Rendered by vectorized numpy sphere tracing.
+
+def _hash01(ix, iy, iz, off=0):
+    """Deterministic int-lattice hash → [0, 1) (numpy-only, vectorized)."""
+    h = (ix.astype(np.int64) * 374761393 + iy.astype(np.int64) * 668265263
+         + iz.astype(np.int64) * 1440662683 + np.int64(off) * 1274126177)
+    h = (h ^ (h >> 13)) * 1103515245
+    h = h ^ (h >> 16)
+    return (h & 0xFFFFFF).astype(np.float32) / float(0xFFFFFF)
+
+
+def value_noise(p, scale, off=0):
+    """Trilinear-interpolated lattice noise at world points p [..., 3]."""
+    q = p * scale
+    q0 = np.floor(q)
+    f = q - q0
+    f = f * f * (3.0 - 2.0 * f)
+    ix, iy, iz = (q0[..., 0].astype(np.int64), q0[..., 1].astype(np.int64),
+                  q0[..., 2].astype(np.int64))
+    fx, fy, fz = f[..., 0], f[..., 1], f[..., 2]
+
+    def corner(dx, dy, dz):
+        return _hash01(ix + dx, iy + dy, iz + dz, off)
+
+    c = [[corner(dx, dy, 0) * (1 - fz) + corner(dx, dy, 1) * fz
+          for dy in (0, 1)] for dx in (0, 1)]
+    cx = [c[0][dy] * (1 - fx) + c[1][dy] * fx for dy in (0, 1)]
+    return cx[0] * (1 - fy) + cx[1] * fy
+
+
+def world_texture(p, tex):
+    """High-frequency view-consistent surface color at world points p.
+
+    Two noise octaves + a stripe field + a 3D checker, mixed over a random
+    3-color palette. All parameters live in `tex` so the prior trainer can
+    randomize whole texture worlds."""
+    n1 = value_noise(p, tex["f1"], off=tex["off"])
+    n2 = value_noise(p, tex["f2"], off=tex["off"] + 1)
+    stripes = 0.5 + 0.5 * np.sin(
+        tex["sf"] * (p[..., 0] + 0.7 * p[..., 1] - 0.4 * p[..., 2])
+        + 5.0 * n1)
+    checker = ((np.floor(p[..., 0] * tex["cs"])
+                + np.floor(p[..., 1] * tex["cs"])
+                + np.floor(p[..., 2] * tex["cs"])) % 2).astype(np.float32)
+    pal = np.asarray(tex["pal"], np.float32)          # [3, 3]
+    col = (pal[0] * (1 - stripes[..., None]) + pal[1] * stripes[..., None])
+    col = col * (0.55 + 0.45 * checker[..., None])
+    col = col + pal[2] * (n2[..., None] - 0.5) * 0.8
+    return np.clip(col, 0.0, 1.0)
+
+
+DEFAULT_HARD = dict(
+    R0=0.45, r0=0.16,                      # torus major/minor radii
+    tilt=(0.9, 0.25),                      # rotation about x then z (rad)
+    zb=-1.2, yg=-0.65,                     # backdrop z / ground y planes
+    light=(0.5, 0.7, 0.5), sky_tint=(0.6, 0.7, 0.9),
+    tex=dict(f1=3.1, f2=11.7, sf=9.0, cs=4.0, off=0,
+             pal=((0.85, 0.55, 0.25), (0.15, 0.3, 0.55), (0.6, 0.6, 0.6))),
+    tex_obj=dict(f1=4.3, f2=14.2, sf=13.0, cs=6.0, off=17,
+                 pal=((0.8, 0.25, 0.3), (0.9, 0.8, 0.3), (0.4, 0.4, 0.4))),
+)
+
+
+def _rot_xz(ax, az):
+    cx, sx = np.cos(ax), np.sin(ax)
+    cz, sz = np.cos(az), np.sin(az)
+    Rx = np.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
+    Rz = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
+    return (Rz @ Rx).astype(np.float32)
+
+
+def render_scene_hard(H, W, focal, c2w, *, hp=None, with_intruder=False):
+    """Sphere-traced render of the hard family. Same contract as
+    `render_scene`: returns (img, depth, hit_id) with hit_id==1 marking the
+    intruder (−1 = sky; 0 torus, 2 backdrop, 3 ground)."""
+    hp = {**DEFAULT_HARD, **(hp or {})}
+    Rm = _rot_xz(*hp["tilt"])
+    icen, irad, _ = INTRUDER
+
+    j, i = np.mgrid[0:H, 0:W].astype(np.float32)
+    dirs = np.stack([(i - W / 2) / focal, -(j - H / 2) / focal,
+                     -np.ones_like(i)], -1)
+    rd = dirs @ c2w[:3, :3].T
+    rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
+    ro = c2w[:3, 3].astype(np.float32)
+
+    def comp_d(p):
+        q = p @ Rm.T                      # torus frame (Rm maps frame→world)
+        qx = np.sqrt(q[..., 0] ** 2 + q[..., 2] ** 2) - hp["R0"]
+        ds = [np.sqrt(qx ** 2 + q[..., 1] ** 2) - hp["r0"]]
+        if with_intruder:
+            ds.append(np.linalg.norm(p - np.asarray(icen, np.float32),
+                                     axis=-1) - irad)
+        else:
+            ds.append(np.full(p.shape[:-1], np.inf, np.float32))
+        ds.append(p[..., 2] - hp["zb"])   # backdrop plane (camera side)
+        ds.append(p[..., 1] - hp["yg"])   # ground plane
+        return np.stack(ds, axis=-1)      # [..., 4]
+
+    sdf = lambda p: comp_d(p).min(axis=-1)
+    t = np.full((H, W), 0.05, np.float32)
+    for _ in range(128):
+        d = sdf(ro + t[..., None] * rd)
+        t = np.minimum(t + 0.9 * np.where(t < 4.2, d, 0.0), 4.2)
+    p = ro + t[..., None] * rd
+    dcomp = comp_d(p)
+    hit = (dcomp.min(axis=-1) < 3e-3) & (t < 3.99)
+    cid = np.where(hit, dcomp.argmin(axis=-1).astype(np.int32), -1)
+
+    eps = 1e-3
+    n = np.stack([sdf(p + np.eye(3, dtype=np.float32)[k] * eps)
+                  - sdf(p - np.eye(3, dtype=np.float32)[k] * eps)
+                  for k in range(3)], -1)
+    n /= np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-9)
+
+    light = np.asarray(hp["light"], np.float64)
+    light = light / np.linalg.norm(light)
+    lam = np.clip(n @ light, 0, 1)[..., None].astype(np.float32)
+
+    albedo = world_texture(p, hp["tex"])                    # planes
+    albedo = np.where((cid == 0)[..., None],
+                      world_texture(p @ Rm.T, hp["tex_obj"]), albedo)
+    if with_intruder:
+        albedo = np.where((cid == 1)[..., None],
+                          np.asarray(INTRUDER[2], np.float32), albedo)
+    shade = albedo * (0.25 + 0.75 * lam)
+    sky = (np.stack([0.5 + 0.3 * rd[..., 1]] * 3, -1)
+           * np.asarray(hp["sky_tint"], np.float32))
+    img = np.where((cid >= 0)[..., None], shade, sky)
+    depth = np.where(cid >= 0, t, 4.0).astype(np.float32)
+    return np.clip(img, 0, 1).astype(np.float32), depth, cid
+
+
+def random_hard_params(rng):
+    """A random hard-family world (for the domain-prior trainer)."""
+
+    def pal():
+        return tuple(tuple(rng.uniform(0.05, 0.95, 3)) for _ in range(3))
+
+    def tex(off):
+        return dict(f1=rng.uniform(2.0, 4.5), f2=rng.uniform(8.0, 16.0),
+                    sf=rng.uniform(6.0, 14.0), cs=rng.uniform(2.5, 6.0),
+                    off=int(off), pal=pal())
+
+    return dict(
+        R0=rng.uniform(0.3, 0.55), r0=rng.uniform(0.1, 0.22),
+        tilt=(rng.uniform(0.3, 1.3), rng.uniform(-0.6, 0.6)),
+        zb=rng.uniform(-1.5, -1.0), yg=rng.uniform(-0.8, -0.5),
+        light=tuple(rng.uniform(0.2, 0.9, 3)),
+        sky_tint=tuple(rng.uniform(0.4, 1.0, 3)),
+        tex=tex(rng.integers(1 << 20)), tex_obj=tex(rng.integers(1 << 20)))
+
+
 def render_sphere(H, W, focal, c2w, radius=0.5):
     """Round-1 single-sphere API (kept for callers/tests)."""
     img, depth, _ = render_scene(
@@ -256,6 +417,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("out")
     ap.add_argument("--task", choices=("clean", "inpaint"), default="clean")
+    ap.add_argument("--family", choices=("spheres", "hard"),
+                    default="spheres",
+                    help="scene family: 'spheres' = the round-1..4 diffuse "
+                         "sphere on a smooth sky; 'hard' = textured "
+                         "high-frequency backdrop/ground + non-convex torus "
+                         "occluder (VERDICT r4 #6 — removes the "
+                         "posterior-mean crutch the smooth background hands "
+                         "stage-1)")
     ap.add_argument("--n_train", type=int, default=6)
     ap.add_argument("--n_test", type=int, default=2)
     ap.add_argument("--H", type=int, default=48)
@@ -296,12 +465,19 @@ def main():
                         2.5 * np.cos(th)])
         c2w = look_at(pos)
         # Clean scene (the ground truth "after object removal").
-        img, depth, _ = render_scene(H, W, focal, c2w)
+        if args.family == "hard":
+            img, depth, _ = render_scene_hard(H, W, focal, c2w)
+        else:
+            img, depth, _ = render_scene(H, W, focal, c2w)
         if args.task == "inpaint":
             # The photographed scene contains the intruder; its silhouette
             # (dilated) is the inpaint mask.
-            _, _, hid = render_scene(H, W, focal, c2w,
-                                     (MAIN_SPHERE, INTRUDER))
+            if args.family == "hard":
+                _, _, hid = render_scene_hard(H, W, focal, c2w,
+                                              with_intruder=True)
+            else:
+                _, _, hid = render_scene(H, W, focal, c2w,
+                                         (MAIN_SPHERE, INTRUDER))
             mask = dilate(hid == 1, it=2).astype(np.uint8)
         else:
             mask = np.zeros((H, W), np.uint8)

@@ -164,6 +164,12 @@ def main():
     ap.add_argument("--prior_steps", type=int, default=None)
     ap.add_argument("--lora_steps", type=int, default=None,
                     help="scene-LoRA fine-tune steps for the priorL arm")
+    ap.add_argument("--family", choices=("spheres", "hard"),
+                    default="spheres",
+                    help="scene family (make_synthetic_scene.py --family): "
+                         "'hard' = textured high-frequency world + "
+                         "non-convex torus occluder; the domain prior is "
+                         "trained on the matching procedural family")
     ap.add_argument("--seed", type=int, default=0,
                     help="scene-generation seed (fresh world + corruption "
                          "draw; the domain prior is scene-independent and "
@@ -219,7 +225,7 @@ def main():
         cmd = [py, "tools/make_synthetic_scene.py", scene, "--task",
                "inpaint", "--H", str(args.H), "--W", str(args.W),
                "--n_train", str(args.n_train), "--n_test", str(args.n_test),
-               "--seed", str(args.seed)]
+               "--seed", str(args.seed), "--family", args.family]
         if args.colmap:
             cmd.append("--colmap_sparse")
         run(cmd, os.path.join(out, "scene.log"))
@@ -241,14 +247,19 @@ def main():
         return False
 
     wants_prior = any(a.startswith("prior") for a in arms)
+    # meta stays {"res"} for the spheres family so pre-round-5 prior ckpts
+    # keep validating; a hard-family prior must never silently stand in for
+    # a spheres one (or vice versa), so the key appears when it matters
     prior_meta = {"res": args.latent}
+    if args.family != "spheres":
+        prior_meta["family"] = args.family
     if wants_prior and not args.check and not check_meta(prior, prior_meta, "prior"):
         if args.skip_prior:
             raise SystemExit(f"--skip_prior but no prior at {prior}")
         # prior trained at the guidance resolution (the CSD path resizes
         # every render to latent²; the prior must match)
         run([py, "tools/train_tiny_prior.py", prior,
-             "--res", str(args.latent),
+             "--res", str(args.latent), "--family", args.family,
              "--steps_unet", str(args.prior_steps)],
             # NOT prior.log — the `prior` ARM's run log takes that name
             os.path.join(out, "prior_train.log"))
@@ -315,6 +326,14 @@ def main():
         "priorL": ("is_rgb_guidance = True\nsd_tiny = True\n"
                    f"sd_prior_ckpt = {prior}\n"
                    f"sd_lora_ckpt = {lora_ckpt}\n"),
+        # collaborative 4-view guidance (VERDICT r4 #7): the reference's
+        # render_path_4view dispatch (run.py:1894-1930, sd_utils.py:525-724)
+        # — 4 random training views rendered per iter and guided jointly.
+        # Reference ships it OFF (aconfig_1.txt), so this arm is capability
+        # evidence, not a headline row.
+        "priorC": ("is_rgb_guidance = True\nis_colla_guidance = True\n"
+                   "sd_tiny = True\n"
+                   f"sd_prior_ckpt = {prior}\n"),
         "priorN": ("is_rgb_guidance = True\nis_normal_guidance = True\n"
                    f"normal_start_iter = {args.iters1}\n"
                    # production keeps the reference's shipped factor 7
@@ -432,6 +451,8 @@ def check_arm_configs(args, arms, arm_name, cfg_paths, prior, lora_ckpt):
                 need(g.sd_lora_ckpt == lora_ckpt, "lora ckpt")
             need(g.is_normal_guidance == (arm in ("priorN", "priorNL")),
                  "is_normal_guidance vs arm")
+            need(g.is_colla_guidance == (arm == "priorC"),
+                 "is_colla_guidance vs arm")
             if g.is_normal_guidance:
                 need(g.normal_start_iter == args.iters1,
                      "normal_start_iter must be stage-2 entry")

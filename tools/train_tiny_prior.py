@@ -35,10 +35,12 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from tools.make_synthetic_scene import look_at, render_scene  # noqa: E402
+from tools.make_synthetic_scene import (look_at, random_hard_params,  # noqa: E402
+                                        render_scene, render_scene_hard)
 
 
-def make_domain_images(n: int, res: int, seed: int):
+def make_domain_images(n: int, res: int, seed: int,
+                       family: str = "spheres"):
     """Random clean sphere-world renders (random albedo/radius/light/sky/
     camera) — a DOMAIN prior, not the target scene: the ablation scene's
     exact geometry/albedo is never shown, only the family it comes from.
@@ -65,17 +67,25 @@ def make_domain_images(n: int, res: int, seed: int):
     nrms = np.empty((n, res, res, 3), np.float32)
     yy = (np.arange(res) * H / res).astype(int).clip(0, H - 1)
     for k in range(n):
-        albedo = rng.uniform(0.1, 0.9, 3)
-        radius = rng.uniform(0.35, 0.65)
-        light = rng.uniform(0.2, 0.9, 3)
-        sky = rng.uniform(0.4, 1.0, 3)
         th = rng.uniform(-0.6, 0.6)
         el = rng.uniform(-0.25, 0.35)
         pos = np.array([2.5 * np.sin(th), el, 2.5 * np.cos(th)])
-        img, depth, _ = render_scene(
-            H, W, focal, look_at(pos),
-            ((np.zeros(3), radius, albedo),), light=tuple(light),
-            sky_tint=tuple(sky))
+        if family == "hard":
+            # random textured world + non-convex occluder (round 5): same
+            # domain-not-scene principle — every texture/palette/torus pose
+            # is a fresh draw, the ablation scene's exact world is never
+            # rendered here.
+            img, depth, _ = render_scene_hard(H, W, focal, look_at(pos),
+                                              hp=random_hard_params(rng))
+        else:
+            albedo = rng.uniform(0.1, 0.9, 3)
+            radius = rng.uniform(0.35, 0.65)
+            light = rng.uniform(0.2, 0.9, 3)
+            sky = rng.uniform(0.4, 1.0, 3)
+            img, depth, _ = render_scene(
+                H, W, focal, look_at(pos),
+                ((np.zeros(3), radius, albedo),), light=tuple(light),
+                sky_tint=tuple(sky))
         imgs[k] = img[yy]                 # vertical stretch H → res
         d = np.nan_to_num(np.asarray(depth, np.float32),
                           posinf=6.0).clip(0.1, 6.0)
@@ -107,6 +117,10 @@ def main():
     ap.add_argument("--lr", type=float, default=2e-3)
     ap.add_argument("--chunk", type=int, default=50)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--family", choices=("spheres", "hard"),
+                    default="spheres",
+                    help="procedural domain family (must match the ablation "
+                         "scene's --family; see make_synthetic_scene.py)")
     ap.add_argument("--prompt", default="a photo of a sphere")
     args = ap.parse_args()
     if args.batch is None:
@@ -140,7 +154,9 @@ def main():
     # different res/seed/n_domain must regenerate, not silently load (a
     # smaller pool would make the in-jit jnp.take CLAMP out-of-range
     # indices with no error)
-    cache = args.out + f".domain_r{args.res}_n{args.n_domain}_s{args.seed}.npz"
+    fam_tag = "" if args.family == "spheres" else f"_{args.family}"
+    cache = (args.out + f".domain_r{args.res}_n{args.n_domain}"
+             f"_s{args.seed}{fam_tag}.npz")
     if os.path.exists(cache):
         z = np.load(cache)
         rgb_np, nrm_np = z["rgb"], z["nrm"]
@@ -153,7 +169,7 @@ def main():
         print(f"[prior] generating {args.n_domain} domain images at "
               f"{args.res}² ...", flush=True)
         rgb_np, nrm_np = make_domain_images(args.n_domain, args.res,
-                                            args.seed)
+                                            args.seed, family=args.family)
         np.savez(cache, rgb=rgb_np, nrm=nrm_np)
     # Combined two-modality pool [2n]: first n RGB, last n normal maps
     # (the reference's LoRA prior trains jointly on RGB + normal data with
