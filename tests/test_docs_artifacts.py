@@ -39,6 +39,12 @@ MANIFEST = {
     # round-4 lindisp=True headline variant (the shipped sampling mode,
     # aconfig_1.txt:45 — VERDICT r3 #5)
     "ablation_r4_lindisp.json": {"s1", "nog", "prior", "priorNL"},
+    # round-5 literal-shipped-configuration table (PARITY.md "Round 5"):
+    # lindisp=True AND 2-way SDS together, with rand + csd_ref controls
+    # (VERDICT r4 missing #1 / weak #3)
+    "ablation_r5_shipped_full.json":
+        {"s1", "nog", "rand-sds", "prior-sds", "priorNL-sds",
+         "prior-csdref", "priorNL-csdref"},
 }
 
 
