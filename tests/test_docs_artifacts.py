@@ -45,6 +45,11 @@ MANIFEST = {
     "ablation_r5_shipped_full.json":
         {"s1", "nog", "rand-sds", "prior-sds", "priorNL-sds",
          "prior-csdref", "priorNL-csdref"},
+    # round-5 512² extension (PARITY.md "Round-5 extension"): headline
+    # LoRA arms + the combine axis at the reference's shipped resolution,
+    # including the no-LoRA prior-sds isolation arm (VERDICT r4 missing #2)
+    "ablation_r5_latent512.json":
+        {"s1", "prior-sds", "priorL", "priorNL-sds", "priorNL-csdref"},
 }
 
 
