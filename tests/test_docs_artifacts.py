@@ -50,6 +50,10 @@ MANIFEST = {
     # including the no-LoRA prior-sds isolation arm (VERDICT r4 missing #2)
     "ablation_r5_latent512.json":
         {"s1", "prior-sds", "priorL", "priorNL-sds", "priorNL-csdref"},
+    # round-5 hard-scene-family run (PARITY.md "Round 5: the harder scene
+    # family"): the controlled negative result — every stage-2 arm below
+    # s1 on the textured world (VERDICT r4 #6)
+    "ablation_r5_hardscene.json": {"s1", "nog", "prior", "priorNL"},
 }
 
 
